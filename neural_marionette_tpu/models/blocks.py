@@ -1,0 +1,169 @@
+"""3D conv building blocks (flax.linen), TPU-native.
+
+Functional re-design of reference `modules/vox_modules.py` (torch
+nn.Modules).  Differences by design:
+
+* channels-LAST layout ``(B, X, Y, Z, C)`` — flax/XLA native on TPU;
+* weight init is baked into the module definitions instead of a post-hoc
+  ``weights_init`` visitor (reference utils/train_utils.py:248-263): convs
+  inside *Block modules get N(0, 0.001), standalone convs N(0, 0.02),
+  all biases zero — exactly the distribution the reference's
+  ``network.apply(weights_init)`` produces for pretrained_mode=0;
+* every norm layer is GroupNorm(C // 16) with eps 1e-5, as upstream
+  (all BatchNorms in the reference are commented out).
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+import flax.linen as nn
+from flax.linen.initializers import normal, zeros_init
+
+# reference weights_init: Conv* inside *Block modules -> N(0, 0.001);
+# other convs -> N(0, 0.02)  (utils/train_utils.py:248-263)
+BLOCK_CONV_INIT = normal(stddev=0.001)
+PLAIN_CONV_INIT = normal(stddev=0.02)
+
+LEAKY_SLOPE = 0.01  # torch nn.LeakyReLU default
+
+
+def leaky_relu(x):
+    return nn.leaky_relu(x, negative_slope=LEAKY_SLOPE)
+
+
+def group_norm(C: int):
+    return nn.GroupNorm(num_groups=max(C // 16, 1), epsilon=1e-5)
+
+
+class Basic3DBlock(nn.Module):
+    """Conv3d(k, same) -> GroupNorm(C/16) -> LeakyReLU.
+
+    Reference modules/vox_modules.py:8-19.
+    """
+    out_channels: int
+    kernel_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.out_channels, (self.kernel_size,) * 3,
+                    padding="SAME", kernel_init=BLOCK_CONV_INIT,
+                    bias_init=zeros_init(), dtype=self.dtype)(x)
+        x = group_norm(self.out_channels)(x)
+        return leaky_relu(x)
+
+
+class Res3DBlock(nn.Module):
+    """2x(Conv3 + GN) residual with 1x1 skip projection; LeakyReLU on the sum.
+
+    Reference modules/vox_modules.py:22-47.
+    """
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_channels = x.shape[-1]
+        res = nn.Conv(self.out_channels, (3, 3, 3), padding="SAME",
+                      kernel_init=BLOCK_CONV_INIT, bias_init=zeros_init(),
+                      dtype=self.dtype)(x)
+        res = group_norm(self.out_channels)(res)
+        res = leaky_relu(res)
+        res = nn.Conv(self.out_channels, (3, 3, 3), padding="SAME",
+                      kernel_init=BLOCK_CONV_INIT, bias_init=zeros_init(),
+                      dtype=self.dtype)(res)
+        res = group_norm(self.out_channels)(res)
+
+        if in_channels == self.out_channels:
+            skip = x
+        else:
+            skip = nn.Conv(self.out_channels, (1, 1, 1),
+                           kernel_init=BLOCK_CONV_INIT,
+                           bias_init=zeros_init(), dtype=self.dtype)(x)
+            skip = group_norm(self.out_channels)(skip)
+        return leaky_relu(res + skip)
+
+
+class Pool3DBlock(nn.Module):
+    """Strided-conv downsample (kernel=stride=pool) + GN + LeakyReLU.
+
+    Reference modules/vox_modules.py:49-61 (not actual pooling).
+    """
+    pool_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        p = self.pool_size
+        x = nn.Conv(C, (p, p, p), strides=(p, p, p), padding="VALID",
+                    kernel_init=BLOCK_CONV_INIT, bias_init=zeros_init(),
+                    dtype=self.dtype)(x)
+        x = group_norm(C)(x)
+        return leaky_relu(x)
+
+
+class Upsample3DBlock(nn.Module):
+    """ConvTranspose3d(k=2, s=2) + GN + LeakyReLU, with torch-style
+    ``output_padding`` (extra high-side plane; with k=s=2 the extra outputs
+    receive bias only).
+
+    Reference modules/vox_modules.py:63-75.
+    """
+    out_channels: int
+    output_padding: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.ConvTranspose(self.out_channels, (2, 2, 2), strides=(2, 2, 2),
+                             padding="VALID", use_bias=False,
+                             kernel_init=BLOCK_CONV_INIT,
+                             dtype=self.dtype)(x)
+        if self.output_padding:
+            pad = [(0, 0)] + [(0, self.output_padding)] * 3 + [(0, 0)]
+            x = jnp.pad(x, pad)
+        bias = self.param("bias", zeros_init(), (self.out_channels,))
+        x = x + bias
+        x = group_norm(self.out_channels)(x)
+        return leaky_relu(x)
+
+
+class Hourglass(nn.Module):
+    """3-level 3D hourglass with residual skip paths.
+
+    Reference modules/vox_modules.py:78-120 (``HG``; structure credited
+    upstream to AnimSkelVolNet).  ``N`` is the input spatial size, used only
+    to derive decoder output_padding for non-power-of-two grids.
+    """
+    output_channels: int
+    N: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        N = self.N
+        outer_padding = [(N // 4) % 2, (N // 2) % 2, N % 2]
+        dt = self.dtype
+
+        skip1 = Res3DBlock(self.output_channels, dtype=dt)(x)
+        x = Pool3DBlock(2, dtype=dt)(x)
+        x = Res3DBlock(32, dtype=dt)(x)
+        skip2 = Res3DBlock(32, dtype=dt)(x)
+        x = Pool3DBlock(2, dtype=dt)(x)
+        x = Res3DBlock(48, dtype=dt)(x)
+        skip3 = Res3DBlock(48, dtype=dt)(x)
+        x = Pool3DBlock(2, dtype=dt)(x)
+        x = Res3DBlock(72, dtype=dt)(x)
+
+        x = Res3DBlock(72, dtype=dt)(x)
+        x = Upsample3DBlock(48, outer_padding[0], dtype=dt)(x)
+        x = x + skip3
+        x = Res3DBlock(48, dtype=dt)(x)
+        x = Upsample3DBlock(32, outer_padding[1], dtype=dt)(x)
+        x = x + skip2
+        x = Res3DBlock(32, dtype=dt)(x)
+        x = Upsample3DBlock(self.output_channels, outer_padding[2],
+                            dtype=dt)(x)
+        return x + skip1

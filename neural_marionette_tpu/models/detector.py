@@ -1,0 +1,406 @@
+"""Keypoint detector: voxel encoder, keypoint head, voxel decoder, affinity.
+
+TPU-native re-design of reference `model/kypt_detector.py`.  The key
+structural change: the reference runs its conv stacks frame-by-frame in
+Python loops (kypt_detector.py:330-353 and :404-411); here the time axis is
+folded into the batch (``(B, T, ...) -> (B*T, ...)``) so the whole sequence
+goes through one batched conv stack, keeping the MXU busy and letting XLA
+fuse across frames.  Gaussian rendering is one broadcast op over (B, T, K)
+instead of a K x T Python loop.
+
+Layouts are channels-last (``(B, T, X, Y, Z, C)``).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+from flax.linen.initializers import normal, zeros_init
+
+from ..config import MarionetteConfig
+from ..ops.coords import add_coord_channels
+from ..ops.keypoints import extract_keypoints_from_heatmap, \
+    render_gaussian_maps
+from ..ops import losses as L
+from .blocks import (Basic3DBlock, Res3DBlock, Pool3DBlock, Hourglass,
+                     PLAIN_CONV_INIT, group_norm, leaky_relu)
+
+
+def _fold_time(x):
+    """(B, T, ...) -> (B*T, ...)"""
+    return x.reshape((-1,) + x.shape[2:])
+
+
+def _unfold_time(x, B, T):
+    return x.reshape((B, T) + x.shape[1:])
+
+
+class FeatureNet(nn.Module):
+    """Voxel -> feature pyramid at grid/4 resolution.
+
+    Reference `_build_feature_net` (kypt_detector.py:264-272):
+    Basic(k5, C/4) -> Pool/2 -> Res(C/2) -> Pool/2 -> HG(C/2) -> Res(C).
+    """
+    out_channels: int
+    grid_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = self.out_channels
+        x = Basic3DBlock(C // 4, 5, dtype=self.dtype)(x)
+        x = Pool3DBlock(2, dtype=self.dtype)(x)
+        x = Res3DBlock(C // 2, dtype=self.dtype)(x)
+        x = Pool3DBlock(2, dtype=self.dtype)(x)
+        x = Hourglass(C // 2, N=self.grid_size // 4, dtype=self.dtype)(x)
+        x = Res3DBlock(C, dtype=self.dtype)(x)
+        return x
+
+
+class HeatmapHead(nn.Module):
+    """1x1 conv + softplus/leaky head (kypt_detector.py:273-280)."""
+    nkeypoints: int
+    act: str = "softplus"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.nkeypoints, (1, 1, 1), kernel_init=PLAIN_CONV_INIT,
+                    bias_init=zeros_init(), dtype=self.dtype)(x)
+        if self.act == "softplus":
+            return jax.nn.softplus(x)
+        return leaky_relu(x)
+
+
+class VoxToKyptNet(nn.Module):
+    """Per-frame voxel encoder + spatial-softmax keypoint extraction.
+
+    Reference `VoxToKyptNet` (kypt_detector.py:244-365) with the frame loop
+    replaced by a folded batch.  ``const_intensity`` modes:
+      0: per-frame heatmaps only (softplus head);
+      1: learned initial heatmap prior, recurrently updated;
+      2: spatio-temporal (sequence-mean) prior, recurrently updated;
+      3: spatio-temporal prior, constant across frames (shipped config);
+      4: motion-saliency weighted prior, constant across frames.
+    Modes 3/4 stay fully frame-parallel; modes 1/2 need only a cheap
+    ``lax.scan`` for the 1x1 propagate fusion (the conv stack itself still
+    runs batched).
+    """
+    cfg: MarionetteConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        self.feat_dim = 128
+        self.heat_grid = cfg.grid_size // 4
+        ci = cfg.const_intensity
+        self.extract_features = FeatureNet(self.feat_dim, cfg.grid_size,
+                                           dtype=self.dtype)
+        self.extract_heatmaps = HeatmapHead(
+            cfg.nkeypoints, act=("leakyrelu" if ci else "softplus"),
+            dtype=self.dtype)
+        if not cfg.fixed_sigma:
+            self.sigma_param = self.param(
+                "sigmas", normal(stddev=1.0), (cfg.nkeypoints,))
+        if ci == 1:
+            self.initial_heatmaps = self.param(
+                "initial_heatmaps", normal(stddev=1.0),
+                (self.heat_grid,) * 3 + (cfg.nkeypoints,))
+        elif ci in (2, 3, 4):
+            self.extract_st_features = FeatureNet(
+                self.feat_dim * 2, cfg.grid_size, dtype=self.dtype)
+            self.extract_st_heatmaps = HeatmapHead(
+                cfg.nkeypoints, act="leakyrelu", dtype=self.dtype)
+        if ci:
+            # propagate_heatmaps: 1x1x1 conv (2 -> 1) + softplus
+            # (kypt_detector.py:295-297); expressed as an explicit linear
+            # combination so it can run inside lax.scan for modes 1/2.
+            self.prop_w = self.param("propagate_kernel", PLAIN_CONV_INIT,
+                                     (1, 1, 1, 2, 1))
+            self.prop_b = self.param("propagate_bias", zeros_init(), (1,))
+
+    def sigmas(self):
+        cfg = self.cfg
+        if cfg.fixed_sigma:
+            return jnp.asarray([cfg.gaussian_sigma] * cfg.nkeypoints,
+                               dtype=self.dtype)
+        max_sigma = cfg.gaussian_sigma * 2.0
+        return jax.nn.sigmoid(self.sigma_param) * max_sigma
+
+    def _propagate(self, heatmap, prev):
+        """softplus(w0*h + w1*prev + b); per-keypoint-independent fusion."""
+        w = self.prop_w.reshape(2)
+        return jax.nn.softplus(w[0] * heatmap + w[1] * prev + self.prop_b[0])
+
+    def __call__(self, seq, Tcond: Optional[int] = None):
+        """``seq``: (B, T, G, G, G, 1) -> (heatmaps, keypoints, gaussians,
+        first_feature)."""
+        cfg = self.cfg
+        B, T = seq.shape[:2]
+        ci = cfg.const_intensity
+
+        # prior heatmap (B, g, g, g, K)
+        prev_heatmap = None
+        if ci == 1:
+            prev_heatmap = jnp.broadcast_to(
+                self.initial_heatmaps[None],
+                (B,) + self.initial_heatmaps.shape)
+        elif ci in (2, 3):
+            seq_summed = jnp.mean(seq, axis=1)  # (B, G, G, G, 1)
+            obs = add_coord_channels(seq_summed)
+            prev_heatmap = self.extract_st_heatmaps(
+                self.extract_st_features(obs))
+        elif ci == 4:
+            # motion saliency: dynamic voxels ~1, static ~1/T, masked to the
+            # union of occupancy (reference kypt_detector.py:317-326; the
+            # upstream Tcond branch is inverted/broken — we implement the
+            # working full-sequence path).
+            seq_summed = 1.0 - jnp.mean(seq, axis=1) + 1.0 / T
+            seq_summed = seq_summed * jnp.clip(jnp.sum(seq, axis=1), 0, 1)
+            obs = add_coord_channels(seq_summed)
+            prev_heatmap = self.extract_st_heatmaps(
+                self.extract_st_features(obs))
+
+        # batched per-frame conv stack over folded (B*T)
+        obs = add_coord_channels(_fold_time(seq))
+        features = self.extract_features(obs)  # (B*T, g, g, g, 128)
+        heatmaps = self.extract_heatmaps(features)  # (B*T, g, g, g, K)
+        heatmaps = _unfold_time(heatmaps, B, T)
+        first_feature = _unfold_time(features, B, T)[:, 0]
+
+        if ci in (3, 4):
+            heatmaps = self._propagate(heatmaps, prev_heatmap[:, None])
+        elif ci in (1, 2):
+            def step(prev, h_t):
+                fused = self._propagate(h_t, prev)
+                return fused, fused  # modes 1/2 update the prior recurrently
+
+            _, fused = jax.lax.scan(step, prev_heatmap,
+                                    jnp.moveaxis(heatmaps, 1, 0))
+            heatmaps = jnp.moveaxis(fused, 0, 1)
+
+        keypoints = extract_keypoints_from_heatmap(
+            _fold_time(heatmaps))  # (B*T, K, 4)
+        keypoints = _unfold_time(keypoints, B, T)
+        gaussians = render_gaussian_maps(keypoints, self.sigmas(),
+                                         self.heat_grid)
+        return heatmaps, keypoints, gaussians, first_feature
+
+
+class VoxelDecoder(nn.Module):
+    """Feature map at grid/4 -> occupancy logits at grid via 2x trilinear
+    upsample + conv stages (reference build_voxel_decoder,
+    kypt_detector.py:417-460)."""
+    feat_dim: int = 128
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        def upsample2(v):
+            new = (v.shape[0],) + tuple(2 * s for s in v.shape[1:-1]) \
+                + (v.shape[-1],)
+            # jax.image 'linear' == trilinear with align_corners=False
+            return jax.image.resize(v, new, method="linear")
+
+        def conv_gn_lrelu(v, C):
+            v = nn.Conv(C, (3, 3, 3), padding="SAME",
+                        kernel_init=PLAIN_CONV_INIT, bias_init=zeros_init(),
+                        dtype=self.dtype)(v)
+            v = group_norm(C)(v)
+            return leaky_relu(v)
+
+        x = upsample2(x)
+        x = conv_gn_lrelu(x, self.feat_dim // 2)
+        x = conv_gn_lrelu(x, self.feat_dim // 2)
+        x = upsample2(x)
+        x = conv_gn_lrelu(x, self.feat_dim // 4)
+        x = conv_gn_lrelu(x, self.feat_dim // 4)
+        return nn.Conv(1, (1, 1, 1), kernel_init=PLAIN_CONV_INIT,
+                       bias_init=zeros_init(), dtype=self.dtype)(x)
+
+
+class KyptToVoxNet(nn.Module):
+    """Gaussian keypoint maps (+ first-frame feature) -> voxel occupancy.
+
+    Reference `KyptToVoxNet` (kypt_detector.py:369-460), frame loop folded
+    into the batch.  Output activation is the first-frame-biased sharpened
+    sigmoid (kypt_detector.py:410).
+    """
+    cfg: MarionetteConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, gaussians, first_feature, first_frame,
+                 sharpness: float = 10.0, translation: float = 0.5):
+        """gaussians (B, T, g, g, g, K); first_feature (B, g, g, g, 128);
+        first_frame (B, G, G, G, 1) -> (B, T, G, G, G, 1)."""
+        cfg = self.cfg
+        B, T = gaussians.shape[:2]
+        K = gaussians.shape[-1]
+        feat_dim = 128
+
+        if cfg.gaussian_cat_type == "max":
+            pooled = jnp.max(gaussians, axis=-1, keepdims=True)
+            gaussians = jnp.repeat(pooled, K, axis=-1)
+        elif cfg.gaussian_cat_type == "sum":
+            pooled = jnp.clip(jnp.sum(gaussians, axis=-1, keepdims=True),
+                              0, 1)
+            gaussians = jnp.repeat(pooled, K, axis=-1)
+
+        g0 = jnp.broadcast_to(gaussians[:, :1], gaussians.shape)
+        ff = jnp.broadcast_to(first_feature[:, None],
+                              (B, T) + first_feature.shape[1:])
+        combined = jnp.concatenate([gaussians, ff, g0], axis=-1)
+        combined = add_coord_channels(_fold_time(combined))
+
+        # adjust 1x1 conv (feat + 2K + D -> feat) + LeakyReLU
+        # (kypt_detector.py:380-385)
+        x = nn.Conv(feat_dim, (1, 1, 1), kernel_init=PLAIN_CONV_INIT,
+                    bias_init=zeros_init(), dtype=self.dtype)(combined)
+        x = leaky_relu(x)
+        logits = VoxelDecoder(feat_dim, dtype=self.dtype)(x)
+
+        ff0 = jnp.broadcast_to(first_frame[:, None],
+                               (B, T) + first_frame.shape[1:])
+        logits = _unfold_time(logits, B, T)
+        return jax.nn.sigmoid(
+            sharpness * (jnp.tanh(logits) + ff0 - translation))
+
+
+class KyptDetector(nn.Module):
+    """Encoder + decoder + learned affinity graph + detector losses.
+
+    Reference `KyptDetector` (kypt_detector.py:10-241).  The
+    ``affinity_start`` annealing gate (kypt_detector.py:71-78) becomes the
+    static ``affinity_active`` call argument, driven by the training
+    scheduler.
+    """
+    cfg: MarionetteConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        self.vox_to_kypt = VoxToKyptNet(cfg, dtype=self.dtype)
+        self.kypt_to_vox = KyptToVoxNet(cfg, dtype=self.dtype)
+        if cfg.keypoints_graph == "affinity_params":
+            K, n = cfg.nkeypoints, cfg.nneighbor
+            cols = K if cfg.affinity_ver < 3 else K - 1
+            if cfg.graph_random_init:
+                init = normal(stddev=1.0)
+            elif cfg.affinity_ver < 3:
+                init = zeros_init()
+            else:
+                init = nn.initializers.ones_init()
+            self.affinity_params = self.param("affinity_params", init,
+                                              (n, K, cols))
+
+    # ------------------------------------------------------------- affinity
+    def get_affinity(self) -> jnp.ndarray:
+        """(nneighbor, K, K, 1) affinity; 5 versions
+        (kypt_detector.py:171-211).  Shipped config is ver 3."""
+        cfg = self.cfg
+        ver = cfg.affinity_ver
+        K = cfg.nkeypoints
+        P = self.affinity_params
+        if ver == 0:
+            W = jax.nn.softmax(P, axis=2)
+        elif ver == 1:
+            W = jax.nn.softplus(P)
+            W = jnp.einsum("nij,nkj->nik", W, W)
+            W = W * (1.0 - jnp.eye(K))[None]
+            W = W / (jnp.sum(W, axis=-1, keepdims=True) + 1e-6)
+        elif ver == 2:
+            W = jax.nn.softplus(P)
+            W = W * (1.0 - jnp.eye(K))[None]
+            W = jax.nn.softmax(W, axis=2)
+        elif ver in (3, 4):
+            if ver == 3:
+                Wt = jax.nn.softmax(P, axis=-1)  # (n, K, K-1)
+            else:
+                g = -jnp.log(-jnp.log(
+                    jax.random.uniform(self.make_rng("gumbel"), P.shape,
+                                       minval=1e-20, maxval=1.0) + 1e-20))
+                Wt = jax.nn.softmax(P + g, axis=-1)
+            zeros_col = jnp.zeros((Wt.shape[0], K, 1), dtype=Wt.dtype)
+            m_up = jnp.concatenate(
+                [zeros_col, jnp.triu(Wt, k=0)], axis=-1)
+            m_low = jnp.concatenate(
+                [jnp.tril(Wt, k=-1), zeros_col], axis=-1)
+            W = m_up + m_low
+        else:
+            raise ValueError("Invalid affinity version")
+        return W[..., None]
+
+    # -------------------------------------------------------------- forward
+    def __call__(self, seq, affinity_active: bool = True,
+                 Tcond: Optional[int] = None) -> dict[str, Any]:
+        cfg = self.cfg
+        B, T = seq.shape[:2]
+        heatmaps, keypoints, gaussians, first_feature = \
+            self.vox_to_kypt(seq, Tcond=Tcond)
+        recon = self.kypt_to_vox(gaussians, first_feature, seq[:, 0])
+
+        recon_loss = L.bce_recon_loss(recon, seq)
+        kypt_const_loss = jnp.zeros((B, T), seq.dtype)  # dead upstream
+        sparsity_loss = L.keypoint_sparsity_loss(heatmaps)
+        separation_loss = L.temporal_separation_loss(keypoints, cfg.sep_sigma)
+        sigmas = self.vox_to_kypt.sigmas()
+        vol_fit_reg = L.volume_fitting_loss(seq, keypoints, sigmas,
+                                            cfg.vol_fit_type)
+
+        zero_bt = jnp.zeros((B, T), seq.dtype)
+        if cfg.keypoints_graph == "none" or not affinity_active:
+            affinity = None
+            local = time_c = sparsity_c = intensity_c = zero_bt
+            graph_traj = zero_bt
+        else:
+            affinity = self.get_affinity()
+            kp = jax.lax.stop_gradient(keypoints) if cfg.keypoints_detach \
+                else keypoints
+            local, time_c, sparsity_c, intensity_c = \
+                L.graph_consistency_losses(
+                    kp, affinity,
+                    local_const=bool(cfg.using_local_const),
+                    time_const=bool(cfg.using_time_const),
+                    sparsity_const=bool(cfg.using_sparsity_const),
+                    ver=cfg.graph_loss_ver)
+            if cfg.graph_traj_weight > 0:
+                graph_traj = L.graph_trajectory_loss(kp, affinity,
+                                                     ver=cfg.graph_loss_ver)
+            else:
+                graph_traj = zero_bt
+        graph_vol = zero_bt  # always zeros upstream (kypt_detector.py:117)
+
+        return dict(
+            recon=recon,
+            keypoints=keypoints,
+            heatmaps=heatmaps,
+            affinity=affinity,
+            recon_loss=jnp.mean(recon_loss),
+            vol_fit_reg=jnp.mean(vol_fit_reg),
+            kypt_const_loss=jnp.mean(kypt_const_loss),
+            separation_loss=jnp.mean(separation_loss),
+            sparsity_loss=jnp.mean(sparsity_loss),
+            local_const_loss=jnp.mean(local),
+            time_const_loss=jnp.mean(time_c),
+            sparsity_const_loss=jnp.mean(sparsity_c),
+            intensity_const_loss=jnp.mean(intensity_c),
+            graph_traj_loss=jnp.mean(graph_traj),
+            graph_vol_loss=jnp.mean(graph_vol),
+            first_feature=first_feature,
+        )
+
+    def decode_from_dyna(self, keypoints, first_feature, first_frame):
+        """Generated keypoints -> voxels (kypt_detector.py:213-241).
+
+        Uses the fixed sigma list (as upstream, even when sigmas are
+        learned)."""
+        cfg = self.cfg
+        sigmas = jnp.asarray([cfg.gaussian_sigma] * cfg.nkeypoints,
+                             dtype=keypoints.dtype)
+        gaussians = render_gaussian_maps(keypoints, sigmas,
+                                         cfg.grid_size // 4)
+        gen = self.kypt_to_vox(gaussians, first_feature, first_frame)
+        return dict(gen=gen)

@@ -1,0 +1,304 @@
+"""HSVRNNBVH: variational-RNN latent dynamics over keypoints with
+forward-kinematic 6D-rotation decoding.
+
+TPU-native re-design of reference `model/hsvrnn_bvh.py`:
+
+* the Python ``for t in range(T)`` rollouts (hsvrnn_bvh.py:89, :171, :208)
+  become ``jax.lax.scan`` with the GRU state as carry;
+* the best-of-N sampling loop (hsvrnn_bvh.py:110-123) is vectorised: the
+  N samples become a leading axis folded into the batch for the decoders
+  and FK, selected with a batched argmin;
+* the FK dict walk is the scans in ``ops.fk``.
+
+The tiny decoder MLPs and the GRU cell are explicit parameters (not nested
+flax modules) so every step stays a plain traced function — no lifted
+transforms.  Initialisations replicate torch defaults (the reference's
+``weights_init`` never touches Linear/GRUCell layers): uniform
+(-1/sqrt(fan_in), +1/sqrt(fan_in)) for Linear, uniform(+-1/sqrt(hidden))
+for the GRU.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+from flax.linen.initializers import normal
+
+from ..config import MarionetteConfig
+from ..ops.fk import fk_global_rotations, fk_positions
+from ..ops.losses import gaussian_kl
+from ..ops.rotations import rotation_6d_to_matrix
+
+
+def _torch_linear_init(fan_in):
+    bound = 1.0 / (fan_in ** 0.5)
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+class SkeletonArrays(NamedTuple):
+    """Device-array form of :class:`neural_marionette_tpu.skeleton.Skeleton`,
+    as consumed by the jitted FK scans."""
+    priority_indices: jnp.ndarray  # (K,) int32, root first
+    parents: jnp.ndarray           # (K,) int32
+
+    @classmethod
+    def from_skeleton(cls, sk):
+        return cls(priority_indices=jnp.asarray(sk.priority_indices),
+                   parents=jnp.asarray(sk.parents))
+
+    @classmethod
+    def chain(cls, K: int):
+        """Trivial 0-1-2-... chain; placeholder before affinity training
+        produces a real skeleton."""
+        import numpy as np
+        parents = np.maximum(np.arange(K) - 1, 0).astype(np.int32)
+        return cls(priority_indices=jnp.arange(K, dtype=jnp.int32),
+                   parents=jnp.asarray(parents))
+
+
+class HSVRNNBVH(nn.Module):
+    """Prior/posterior GRU over keypoint states (reference hsvrnn_bvh.py)."""
+    cfg: MarionetteConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        K = cfg.nkeypoints
+        Z = cfg.nlatent_kypt
+        H = cfg.nhidden_kypt
+        S = K * (cfg.input_dim + 1)  # state dim (hsvrnn_bvh.py:22)
+        self._S, self._Z, self._H, self._K = S, Z, H, K
+
+        def dense(name, fin, fout):
+            w = self.param(f"{name}_w", _torch_linear_init(fin), (fin, fout))
+            b = self.param(f"{name}_b", _torch_linear_init(fin), (fout,))
+            return w, b
+
+        # posterior / prior nets (hsvrnn_bvh.py:29-40)
+        self.post_l1 = dense("post_l1", H + S, 128)
+        self.post_l2 = dense("post_l2", 128, 2 * Z)
+        self.prior_l1 = dense("prior_l1", H, 128)
+        self.prior_l2 = dense("prior_l2", 128, 2 * Z)
+        # root position + per-joint intensity decoder (hsvrnn_bvh.py:41-47)
+        self.root_l1 = dense("root_l1", H + Z, 128)
+        self.root_l2 = dense("root_l2", 128, 3 + K)
+        # 6D joint rotation decoder (hsvrnn_bvh.py:49-54)
+        self.joint_l1 = dense("joint_l1", H + Z, 128)
+        self.joint_l2 = dense("joint_l2", 128, 6 * K)
+        # GRU cell (hsvrnn_bvh.py:57-58); torch GRUCell init: U(+-1/sqrt(H))
+        gru_init = _torch_linear_init(H)
+        self.gru_w_ih = self.param("gru_w_ih", gru_init, (S + Z, 3 * H))
+        self.gru_w_hh = self.param("gru_w_hh", gru_init, (H, 3 * H))
+        self.gru_b_ih = self.param("gru_b_ih", gru_init, (3 * H,))
+        self.gru_b_hh = self.param("gru_b_hh", gru_init, (3 * H,))
+        # learned initial state + frozen offset directions (hsvrnn_bvh.py:60-65)
+        self.init_state = self.param("init_kypt_rnn_state",
+                                     normal(stddev=1.0), (1, H))
+        self.offset_param = self.param("offset_param", normal(stddev=1.0),
+                                       (K, 3))
+
+    # ------------------------------------------------------------ primitives
+    @staticmethod
+    def _mlp(x, l1, l2):
+        h = x @ l1[0] + l1[1]
+        h = nn.leaky_relu(h, negative_slope=0.01)
+        return h @ l2[0] + l2[1]
+
+    def _gru(self, x, h):
+        """torch.nn.GRUCell semantics (reset gate inside the candidate)."""
+        gi = x @ self.gru_w_ih + self.gru_b_ih
+        gh = h @ self.gru_w_hh + self.gru_b_hh
+        i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(i_r + h_r)
+        z = jax.nn.sigmoid(i_z + h_z)
+        n = jnp.tanh(i_n + r * h_n)
+        return (1.0 - z) * n + z * h
+
+    def _dist_params(self, x, l1, l2):
+        raw = self._mlp(x, l1, l2)
+        mean, std_raw = jnp.split(raw, 2, axis=-1)
+        std = jax.nn.softplus(std_raw) + 1e-4  # hsvrnn_bvh.py:95,103
+        return mean, std
+
+    # -------------------------------------------------------------- decoding
+    def extract_kypt_from_latent_and_state(self, decoder_input, offset,
+                                           skeleton: SkeletonArrays):
+        """(B, H+Z), (B, K, 3) -> (flat keypoints (B, K*(D+1)), R (B, K, 3, 3)).
+
+        Reference hsvrnn_bvh.py:255-286: decode root position + intensities
+        (tanh -> [0, 1]) and 6D rotations; compose global rotations; walk the
+        tree for positions.
+        """
+        K = self._K
+        raw = jnp.tanh(self._mlp(decoder_input, self.root_l1, self.root_l2))
+        root_pos = raw[:, :3]
+        intensity = (raw[:, 3:] + 1.0) * 0.5  # (B, K)
+
+        rot6d = self._mlp(decoder_input, self.joint_l1, self.joint_l2)
+        rot6d = rot6d.reshape(-1, K, 6)
+        R_local = rotation_6d_to_matrix(rot6d)
+        R_glob = fk_global_rotations(R_local, skeleton.priority_indices,
+                                     skeleton.parents)
+        pos = fk_positions(R_glob, offset, root_pos,
+                           skeleton.priority_indices, skeleton.parents)
+        processed = jnp.concatenate([pos, intensity[..., None]], axis=-1)
+        return processed.reshape(processed.shape[0], -1), R_glob
+
+    def get_offset(self, keypoints, parents):
+        """Bone offsets: median inter-keypoint distance to parent scaled
+        frozen unit directions (hsvrnn_bvh.py:236-253).
+
+        torch.median returns the LOWER of the two middle values for even T;
+        replicated via sort + index (T-1)//2.
+        """
+        B, T, K, _ = keypoints.shape
+        pos = keypoints[..., :3]
+        dist = jnp.sqrt(jnp.sum(
+            (pos[:, :, :, None] - pos[:, :, None]) ** 2, axis=-1))  # (B,T,K,K)
+        med = jnp.sort(dist, axis=1)[:, (T - 1) // 2]  # (B, K, K)
+        scale = jnp.take_along_axis(
+            med, parents[None, :, None].astype(jnp.int32),
+            axis=-1)[..., 0]  # (B, K): med[:, k, parents[k]]
+
+        direction = self.offset_param / (jnp.sqrt(jnp.sum(
+            self.offset_param ** 2, axis=-1, keepdims=True)) + 1e-10)
+        offset = direction[None] * scale[..., None]
+        # offsets are never trained (offset_param frozen + .detach upstream)
+        return jax.lax.stop_gradient(offset)
+
+    def _best_of_n(self, prev_state, z_samples, offset_rep,
+                   skeleton, keypoint_flat):
+        """Decode N samples, pick per-batch argmin L2 to the detected
+        keypoints (hsvrnn_bvh.py:107-123), vectorised over the sample axis.
+        """
+        S_num, B, Z = z_samples.shape
+        H = self._H
+        state_rep = jnp.broadcast_to(prev_state[None], (S_num, B, H))
+        dec_in = jnp.concatenate([state_rep, z_samples], axis=-1)
+        dec_in = dec_in.reshape(S_num * B, H + Z)
+        kypt_flat, R = self.extract_kypt_from_latent_and_state(
+            dec_in, offset_rep, skeleton)
+        kypt_flat = kypt_flat.reshape(S_num, B, -1)
+        R = R.reshape(S_num, B, self._K, 3, 3)
+
+        d = jnp.sum((keypoint_flat[None] - kypt_flat) ** 2, axis=-1)  # (S, B)
+        best = jnp.argmin(d, axis=0)  # (B,)
+        b_idx = jnp.arange(B)
+        return (z_samples[best, b_idx], kypt_flat[best, b_idx],
+                R[best, b_idx])
+
+    # ----------------------------------------------------------------- encode
+    def encode(self, keypoints, skeleton: SkeletonArrays,
+               sample_num: int = 10) -> dict[str, Any]:
+        """Posterior-driven rollout with best-of-N sampling.
+
+        ``keypoints``: (B, T, K, D+1), already stop-gradiented by the caller
+        (reference neural_marionette.py:53 detaches).  Reference
+        hsvrnn_bvh.py:67-156.
+        """
+        B, T, K, _ = keypoints.shape
+        offset = self.get_offset(keypoints, skeleton.parents)
+        offset_rep = jnp.tile(offset, (sample_num, 1, 1))
+        h0 = jnp.broadcast_to(self.init_state, (B, self._H))
+        keys = jax.random.split(self.make_rng("sample"), T)
+
+        def step(h, inp):
+            key, keypoint = inp
+            keypoint_flat = keypoint.reshape(B, -1)
+            prior_mean, prior_std = self._dist_params(
+                h, self.prior_l1, self.prior_l2)
+            post_mean, post_std = self._dist_params(
+                jnp.concatenate([h, keypoint_flat], axis=-1),
+                self.post_l1, self.post_l2)
+            eps = jax.random.normal(key, (sample_num, B, self._Z),
+                                    dtype=post_mean.dtype)
+            z_samples = post_mean[None] + post_std[None] * eps
+            best_z, best_kypt, best_R = self._best_of_n(
+                h, z_samples, offset_rep, skeleton, keypoint_flat)
+            h_new = self._gru(
+                jnp.concatenate([best_kypt, best_z], axis=-1), h)
+            kl = gaussian_kl(post_mean, post_std, prior_mean, prior_std)
+            return h_new, (best_kypt, best_R, best_z, h_new, kl)
+
+        _, (kypts, Rs, zs, hs, kls) = jax.lax.scan(
+            step, h0, (keys, jnp.moveaxis(keypoints, 1, 0)))
+
+        keypoints_inferred = jnp.moveaxis(kypts, 0, 1).reshape(B, T, K, -1)
+        R_inferred = jnp.moveaxis(Rs, 0, 1)
+        z_kypts = jnp.moveaxis(zs, 0, 1)
+        h_kypts = jnp.concatenate(
+            [h0[:, None], jnp.moveaxis(hs, 0, 1)], axis=1)
+        kl_kypt = jnp.moveaxis(kls, 0, 1)  # (B, T, Z)
+
+        kypt_recon_loss = jnp.sum(
+            (keypoints_inferred - keypoints) ** 2, axis=(2, 3))  # (B, T)
+
+        return dict(
+            kypt_recon=keypoints_inferred[..., :4],
+            R=R_inferred,
+            z_kypts=z_kypts,
+            h_kypts=h_kypts,
+            kl_kypt=jnp.mean(kl_kypt),
+            kypt_recon_loss=jnp.mean(kypt_recon_loss),
+            gae_recon_loss=jnp.zeros((), keypoints.dtype),   # dead upstream
+            topo_recon_loss=jnp.zeros((), keypoints.dtype),  # dead upstream
+        )
+
+    # --------------------------------------------------------------- generate
+    def generate(self, keypoints_cond, skeleton: SkeletonArrays,
+                 Ttot: int = 10, Tcond: int = 3,
+                 sample_num: int = 10) -> dict[str, Any]:
+        """Conditioned posterior steps then prior rollout
+        (reference hsvrnn_bvh.py:158-234)."""
+        B, _, K, _ = keypoints_cond.shape
+        offset = self.get_offset(keypoints_cond, skeleton.parents)
+        offset_rep = jnp.tile(offset, (sample_num, 1, 1))
+        h0 = jnp.broadcast_to(self.init_state, (B, self._H))
+        rng = self.make_rng("sample")
+        cond_keys = jax.random.split(jax.random.fold_in(rng, 0), Tcond)
+        gen_keys = jax.random.split(jax.random.fold_in(rng, 1), Ttot - Tcond)
+
+        def cond_step(h, inp):
+            key, keypoint = inp
+            keypoint_flat = keypoint.reshape(B, -1)
+            post_mean, post_std = self._dist_params(
+                jnp.concatenate([h, keypoint_flat], axis=-1),
+                self.post_l1, self.post_l2)
+            eps = jax.random.normal(key, (sample_num, B, self._Z),
+                                    dtype=post_mean.dtype)
+            z_samples = post_mean[None] + post_std[None] * eps
+            best_z, best_kypt, _ = self._best_of_n(
+                h, z_samples, offset_rep, skeleton, keypoint_flat)
+            h_new = self._gru(
+                jnp.concatenate([best_kypt, best_z], axis=-1), h)
+            return h_new, best_kypt
+
+        h, cond_kypts = jax.lax.scan(
+            cond_step, h0, (cond_keys, jnp.moveaxis(keypoints_cond, 1, 0)))
+
+        def gen_step(h, key):
+            prior_mean, prior_std = self._dist_params(
+                h, self.prior_l1, self.prior_l2)
+            eps = jax.random.normal(key, prior_mean.shape,
+                                    dtype=prior_mean.dtype)
+            z = prior_mean + prior_std * eps
+            kypt_flat, _ = self.extract_kypt_from_latent_and_state(
+                jnp.concatenate([h, z], axis=-1), offset, skeleton)
+            h_new = self._gru(jnp.concatenate([kypt_flat, z], axis=-1), h)
+            return h_new, kypt_flat
+
+        _, gen_kypts = jax.lax.scan(gen_step, h, gen_keys)
+
+        keypoints_inferred = jnp.moveaxis(cond_kypts, 0, 1).reshape(
+            B, Tcond, K, -1)
+        keypoints_generated = jnp.moveaxis(gen_kypts, 0, 1).reshape(
+            B, Ttot - Tcond, K, -1)
+        return dict(
+            keypoints_cond=keypoints_inferred[..., :4],
+            keypoints_gen=keypoints_generated[..., :4],
+        )

@@ -134,6 +134,7 @@ class MarionetteConfig:
     start_step: int = 500
 
     # TPU-framework-specific knobs (no reference equivalent)
+    feat_dim: int = 128  # detector feature width (reference hardcodes 128)
     data_root: str = "data"
     output_root: str = "output"
     mesh_data: int = -1  # -1 => all devices on the data axis

@@ -93,7 +93,7 @@ class VoxToKyptNet(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.feat_dim = 128
+        self.feat_dim = cfg.feat_dim
         self.heat_grid = cfg.grid_size // 4
         ci = cfg.const_intensity
         self.extract_features = FeatureNet(self.feat_dim, cfg.grid_size,
@@ -239,7 +239,7 @@ class KyptToVoxNet(nn.Module):
         cfg = self.cfg
         B, T = gaussians.shape[:2]
         K = gaussians.shape[-1]
-        feat_dim = 128
+        feat_dim = cfg.feat_dim
 
         if cfg.gaussian_cat_type == "max":
             pooled = jnp.max(gaussians, axis=-1, keepdims=True)

@@ -90,11 +90,14 @@ def volume_fitting_loss(seq: jnp.ndarray, keypoints: jnp.ndarray,
                 (grid[None, None] - c[:, :, None, None, None]) ** 2, axis=-1)
             return jnp.minimum(dmin, d)
 
-        dmin = jnp.full(occ.shape, jnp.inf, dtype=seq.dtype)
+        # init with the max possible squared distance (12.0 = diag of the
+        # [-1,1]^3 box) instead of inf: min-with-inf has an ill-defined
+        # gradient and empty frames would otherwise produce inf * 0
+        dmin = jnp.full(occ.shape, 12.0, dtype=seq.dtype)
         dmin = jax.lax.fori_loop(0, K, body, dmin)
         num = jnp.sum(dmin * occ, axis=(2, 3, 4))
         den = jnp.sum(occ, axis=(2, 3, 4))
-        return num / den
+        return num / jnp.maximum(den, 1.0)
 
     if vol_fit_type == "gaussian":
         from .keypoints import render_gaussian_maps
@@ -162,10 +165,17 @@ def graph_consistency_losses(keypoints: jnp.ndarray, affinity: jnp.ndarray,
 
 
 def _cosine_similarity(x, y, eps=1e-6):
-    """torch.nn.CosineSimilarity semantics: denominator clamped at eps."""
+    """torch.nn.CosineSimilarity semantics: denominator clamped at eps.
+
+    Norms carry a 1e-12 floor inside the sqrt: value-identical wherever the
+    eps clamp binds, but the gradient at exactly-zero vectors is finite
+    (jnp.linalg.norm has a NaN gradient at 0, and zero velocity vectors do
+    occur for static keypoints).
+    """
     num = jnp.sum(x * y, axis=-1)
-    den = jnp.linalg.norm(x, axis=-1) * jnp.linalg.norm(y, axis=-1)
-    return num / jnp.maximum(den, eps)
+    nx = jnp.sqrt(jnp.sum(x * x, axis=-1) + 1e-12)
+    ny = jnp.sqrt(jnp.sum(y * y, axis=-1) + 1e-12)
+    return num / jnp.maximum(nx * ny, eps)
 
 
 def graph_trajectory_loss(keypoints: jnp.ndarray, affinity: jnp.ndarray,

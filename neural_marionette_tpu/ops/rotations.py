@@ -20,7 +20,9 @@ def rotation_6d_to_matrix(param: jnp.ndarray) -> jnp.ndarray:
     b = param[..., 3:6]
 
     def _normalize(v):
-        mag = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True)) + 1e-10
+        # 1e-20 inside the sqrt keeps the gradient finite at v == 0
+        # (value-identical to the reference's sqrt(.) + 1e-10 guard)
+        mag = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True) + 1e-20) + 1e-10
         return v / mag
 
     x = _normalize(a)

@@ -1,0 +1,126 @@
+"""Jitted, mesh-sharded train / eval / generate steps.
+
+One compiled program per scheduler phase (the (detector, learner, affinity)
+active-combination is static).  The batch rides the mesh as
+``P('data', 'model')`` over (B, T): pure data parallelism over batch plus
+frame-level sequence parallelism for the detector's conv encoder.  Gradient
+all-reduce is XLA's psum from the replicated-params sharding — nothing is
+hand-written.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import MarionetteConfig
+from ..models.marionette import NeuralMarionette
+from ..models.dynamics import SkeletonArrays
+from ..parallel.mesh import batch_spec
+from .losses import LOSS_LIST
+from .state import TrainState, make_optimizer, make_update_mask
+
+
+def _constrain_batch(batch, mesh: Optional[Mesh]):
+    if mesh is None:
+        return batch
+    return jax.lax.with_sharding_constraint(
+        batch, NamedSharding(mesh, batch_spec()))
+
+
+def total_loss(out: dict[str, Any], weights: dict[str, float], dtype):
+    """Weighted sum over the loss registry; absent losses contribute 0
+    (mirrors reference train.py:389-398)."""
+    total = jnp.zeros((), dtype)
+    metrics = {}
+    for name in LOSS_LIST:
+        val = out.get(name)
+        if val is None:
+            val = jnp.zeros((), dtype)
+        total = total + weights.get(name, 0.0) * val
+        metrics[name] = val
+    metrics["total_loss"] = total
+    return total, metrics
+
+
+def make_train_step(model: NeuralMarionette, cfg: MarionetteConfig,
+                    weights: dict[str, float],
+                    detector_active: bool, learner_active: bool,
+                    affinity_active: bool,
+                    mesh: Optional[Mesh] = None,
+                    donate: bool = True):
+    """Build the jitted train step for one scheduler phase."""
+    tx = make_optimizer(cfg)
+    w = dict(weights)
+
+    def step_fn(state: TrainState, batch,
+                skeleton: Optional[SkeletonArrays]):
+        batch = _constrain_batch(batch, mesh)
+        rng, sample_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            out = model.apply(params, batch,
+                              detector_active=detector_active,
+                              learner_active=learner_active,
+                              affinity_active=affinity_active,
+                              skeleton=skeleton,
+                              rngs={"sample": sample_rng})
+            return total_loss(out, w, batch.dtype)
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        mask = make_update_mask(state.params, detector_active,
+                                learner_active, affinity_active)
+        grads = jax.tree.map(lambda g, m: g * m, grads, mask)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u, m: u * m, updates, mask)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=params, opt_state=opt_state,
+                                  rng=rng, step=state.step + 1)
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model: NeuralMarionette, cfg: MarionetteConfig,
+                   weights: dict[str, float],
+                   detector_active: bool, learner_active: bool,
+                   affinity_active: bool,
+                   mesh: Optional[Mesh] = None):
+    """Forward-only step returning metrics + tensors needed for logging."""
+    w = dict(weights)
+
+    def eval_fn(params, batch, skeleton, sample_rng):
+        batch = _constrain_batch(batch, mesh)
+        out = model.apply(params, batch,
+                          detector_active=True,
+                          learner_active=learner_active,
+                          affinity_active=affinity_active,
+                          skeleton=skeleton,
+                          rngs={"sample": sample_rng})
+        _, metrics = total_loss(out, w, batch.dtype)
+        tensors = {k: out[k] for k in
+                   ("recon", "keypoints", "affinity", "kypt_recon")
+                   if out.get(k) is not None}
+        return metrics, tensors
+
+    return jax.jit(eval_fn)
+
+
+def make_generate_step(model: NeuralMarionette, cfg: MarionetteConfig,
+                       affinity_active: bool = True,
+                       mesh: Optional[Mesh] = None,
+                       sample_num: int = 10):
+    def gen_fn(params, batch, skeleton, sample_rng):
+        batch = _constrain_batch(batch, mesh)
+        return model.apply(params, batch, skeleton,
+                           affinity_active=affinity_active,
+                           sample_num=sample_num,
+                           method=NeuralMarionette.generate,
+                           rngs={"sample": sample_rng})
+
+    return jax.jit(gen_fn)

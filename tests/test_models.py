@@ -12,7 +12,8 @@ from neural_marionette_tpu.models import (
 def tiny_cfg(**kw):
     base = dict(grid_size=32, nkeypoints=6, input_dim=3, Ttot=4, Tcond=2,
                 nlatent_kypt=16, nhidden_kypt=32, const_intensity=3,
-                affinity_ver=3, nneighbor=2, gaussian_sigma=1.5)
+                affinity_ver=3, nneighbor=2, gaussian_sigma=1.5,
+                feat_dim=32)
     base.update(kw)
     return MarionetteConfig(**base)
 
@@ -52,7 +53,7 @@ def test_detector_forward_shapes(voxseq):
     assert out["keypoints"].shape == (B, T, K, 4)
     assert out["heatmaps"].shape == (B, T, g, g, g, K)
     assert out["affinity"].shape == (cfg.nneighbor, K, K, 1)
-    assert out["first_feature"].shape == (B, g, g, g, 128)
+    assert out["first_feature"].shape == (B, g, g, g, cfg.feat_dim)
     # recon is a valid probability
     r = np.asarray(out["recon"])
     assert r.min() >= 0.0 and r.max() <= 1.0

@@ -1,0 +1,75 @@
+"""Benchmark: voxel seqs/sec/chip for 64^3 encode + VRNN rollout.
+
+Runs the flagship model (shipped AIST config: grid 64, K=24, feat 128) on
+the default JAX backend (the real TPU chip under the driver) and prints ONE
+JSON line with the BASELINE.json metric.
+
+``vs_baseline`` compares against the PyTorch reference measured on CPU by
+``scripts/measure_reference.py`` (the reference publishes no numbers and
+has no TPU path; see BASELINE.md).  Override with NM_REF_SEQS_PER_SEC.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+# PyTorch reference, CPU, B=2 T=10 G=64 K=24 (scripts/measure_reference.py);
+# recorded in BASELINE.md.
+REF_SEQS_PER_SEC = 0.0537
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neural_marionette_tpu.config import MarionetteConfig, adjust_config
+    from neural_marionette_tpu.models import NeuralMarionette, SkeletonArrays
+    from neural_marionette_tpu.ops import voxelize_jnp
+
+    B = int(os.environ.get("NM_BENCH_B", "8"))
+    iters = int(os.environ.get("NM_BENCH_ITERS", "20"))
+
+    cfg = adjust_config(MarionetteConfig(dataset="aist"))  # G=64 K=24 T=10
+    T, G = cfg.Ttot, cfg.grid_size
+    model = NeuralMarionette(cfg)
+
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.uniform(-0.8, 0.8, size=(B, T, 2048, 3)),
+                      dtype=jnp.float32)
+    batch = voxelize_jnp(pts, G)
+    sk = SkeletonArrays.chain(cfg.nkeypoints)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "sample": jax.random.PRNGKey(1)},
+                        batch, detector_active=True, learner_active=True,
+                        skeleton=sk)
+
+    @jax.jit
+    def encode_rollout(params, batch):
+        out = model.apply(params, batch, sk,
+                          method=NeuralMarionette.encode_only,
+                          rngs={"sample": jax.random.PRNGKey(2)})
+        # pull only small outputs back (keypoints + rollout recon)
+        return out["keypoints"], out["kypt_recon"]
+
+    # warmup / compile
+    jax.block_until_ready(encode_rollout(params, batch))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = encode_rollout(params, batch)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    seqs_per_sec = B / dt
+    ref = float(os.environ.get("NM_REF_SEQS_PER_SEC", REF_SEQS_PER_SEC))
+    print(json.dumps({
+        "metric": "voxel seqs/sec/chip (64^3 encode + VRNN rollout)",
+        "value": round(seqs_per_sec, 3),
+        "unit": "seqs/sec/chip",
+        "vs_baseline": round(seqs_per_sec / ref, 2) if ref > 0 else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

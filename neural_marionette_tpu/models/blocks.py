@@ -82,7 +82,11 @@ class Res3DBlock(nn.Module):
                            kernel_init=BLOCK_CONV_INIT,
                            bias_init=zeros_init(), dtype=self.dtype)(x)
             skip = group_norm(self.out_channels)(skip)
-        return leaky_relu(res + skip)
+        # NOTE upstream quirk replicated: the reference calls
+        # F.leaky_relu(res + skip, True) (vox_modules.py:47) where True is
+        # positionally negative_slope=1.0 — i.e. the output "activation" is
+        # the identity.  Published checkpoints were trained this way.
+        return res + skip
 
 
 class Pool3DBlock(nn.Module):

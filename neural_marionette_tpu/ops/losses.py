@@ -165,17 +165,18 @@ def graph_consistency_losses(keypoints: jnp.ndarray, affinity: jnp.ndarray,
 
 
 def _cosine_similarity(x, y, eps=1e-6):
-    """torch.nn.CosineSimilarity semantics: denominator clamped at eps.
-
-    Norms carry a 1e-12 floor inside the sqrt: value-identical wherever the
-    eps clamp binds, but the gradient at exactly-zero vectors is finite
-    (jnp.linalg.norm has a NaN gradient at 0, and zero velocity vectors do
-    occur for static keypoints).
+    """torch.nn.CosineSimilarity semantics, exactly:
+    ``w12 / (max(||x||, eps) * max(||y||, eps))`` — EACH norm clamped
+    separately (aten cosine_similarity; verified numerically vs torch).
+    ``max(sqrt(w), eps) == sqrt(max(w, eps^2))`` for w >= 0, and clamping
+    before the sqrt keeps the gradient finite at exactly-zero vectors
+    (static keypoints produce zero velocities; an unclamped norm has a NaN
+    gradient at 0).
     """
-    num = jnp.sum(x * y, axis=-1)
-    nx = jnp.sqrt(jnp.sum(x * x, axis=-1) + 1e-12)
-    ny = jnp.sqrt(jnp.sum(y * y, axis=-1) + 1e-12)
-    return num / jnp.maximum(nx * ny, eps)
+    w12 = jnp.sum(x * y, axis=-1)
+    nx = jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=-1), eps * eps))
+    ny = jnp.sqrt(jnp.maximum(jnp.sum(y * y, axis=-1), eps * eps))
+    return w12 / (nx * ny)
 
 
 def graph_trajectory_loss(keypoints: jnp.ndarray, affinity: jnp.ndarray,

@@ -60,9 +60,12 @@ def extract_skeleton(affinity: np.ndarray) -> Skeleton:
 
     influence = aff.max(axis=0)  # (K, K)
 
-    # top-N neighbors per node -> symmetrized binary adjacency
+    # top-N neighbors per node -> symmetrized binary adjacency.
+    # float32 like the reference's torch-derived array: the 1e-5 edge
+    # perturbations below accumulate with float32 rounding, and the exact
+    # bit pattern decides distance tie-breaks downstream.
     topk = np.argsort(-influence, axis=-1, kind="stable")[:, :N]
-    A_bin = np.zeros((K, K), dtype=np.float64)
+    A_bin = np.zeros((K, K), dtype=np.float32)
     A_bin[np.arange(K)[:, None], topk] = 1.0
     A_bin = np.maximum(A_bin, A_bin.T)
 
@@ -95,8 +98,8 @@ def extract_skeleton(affinity: np.ndarray) -> Skeleton:
                 for n in k_set:
                     if n in kdot_set:
                         l = kdot if influence[n, k] > influence[n, kdot] else k
-                        A_bin_temp[n, l] += 1e-5
-                        A_bin_temp[l, n] += 1e-5
+                        A_bin_temp[n, l] += np.float32(1e-5)
+                        A_bin_temp[l, n] += np.float32(1e-5)
 
     A_dijk = _all_pairs_shortest(A_bin, weights=A_bin_temp)
 

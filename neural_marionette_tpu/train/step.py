@@ -20,6 +20,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import MarionetteConfig
 from ..models.marionette import NeuralMarionette
 from ..models.dynamics import SkeletonArrays
+from ..ops.voxelize import voxelize_jnp
 from ..parallel.mesh import batch_spec
 from .losses import LOSS_LIST
 from .state import TrainState, make_optimizer, make_update_mask
@@ -30,6 +31,15 @@ def _constrain_batch(batch, mesh: Optional[Mesh]):
         return batch
     return jax.lax.with_sharding_constraint(
         batch, NamedSharding(mesh, batch_spec()))
+
+
+def _as_voxels(batch, cfg: MarionetteConfig):
+    """Accept either voxel batches (B, T, G, G, G, 1) or raw point batches
+    (B, T, N, 3) — points are scattered into the occupancy grid ON DEVICE
+    (the reference voxelizes per frame on the host, dataset.py:79-86)."""
+    if batch.ndim == 4 and batch.shape[-1] == 3:
+        return voxelize_jnp(batch, cfg.grid_size)
+    return batch
 
 
 def total_loss(out: dict[str, Any], weights: dict[str, float], dtype):
@@ -59,7 +69,7 @@ def make_train_step(model: NeuralMarionette, cfg: MarionetteConfig,
 
     def step_fn(state: TrainState, batch,
                 skeleton: Optional[SkeletonArrays]):
-        batch = _constrain_batch(batch, mesh)
+        batch = _as_voxels(_constrain_batch(batch, mesh), cfg)
         rng, sample_rng = jax.random.split(state.rng)
 
         def loss_fn(params):
@@ -95,7 +105,7 @@ def make_eval_step(model: NeuralMarionette, cfg: MarionetteConfig,
     w = dict(weights)
 
     def eval_fn(params, batch, skeleton, sample_rng):
-        batch = _constrain_batch(batch, mesh)
+        batch = _as_voxels(_constrain_batch(batch, mesh), cfg)
         out = model.apply(params, batch,
                           detector_active=True,
                           learner_active=learner_active,
@@ -116,7 +126,7 @@ def make_generate_step(model: NeuralMarionette, cfg: MarionetteConfig,
                        mesh: Optional[Mesh] = None,
                        sample_num: int = 10):
     def gen_fn(params, batch, skeleton, sample_rng):
-        batch = _constrain_batch(batch, mesh)
+        batch = _as_voxels(_constrain_batch(batch, mesh), cfg)
         return model.apply(params, batch, skeleton,
                            affinity_active=affinity_active,
                            sample_num=sample_num,

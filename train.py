@@ -1,0 +1,300 @@
+"""Training driver CLI.
+
+Same surface as the reference (`python train.py --dataset aist --exp_name x
+--pretrained_mode {0,1}`, reference train.py), rebuilt around the TPU stack:
+
+* one jitted, mesh-sharded train step per scheduler phase;
+* points voxelized on device; host loader threads + device prefetch;
+* Orbax checkpoints (params + optimizer state + RNG + skeleton) with
+  auto-latest resume;
+* skeleton extraction runs ONCE when the learner phase begins (the
+  reference caches it on first encode, hsvrnn_bvh.py:75-79);
+* TensorBoard scalars + GIF videos when tensorboard is available, JSONL
+  metrics always.
+
+The reference's pretrained_mode=2 RL path is broken upstream (missing
+network.agent) and intentionally not implemented.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+
+def parse_args():
+    from neural_marionette_tpu.config import MarionetteConfig
+    parser = argparse.ArgumentParser(description=__doc__)
+    for f in dataclasses.fields(MarionetteConfig):
+        if f.type == "bool":
+            parser.add_argument(f"--{f.name}", type=int, default=f.default)
+        else:
+            ftype = type(f.default) if f.default is not None else str
+            parser.add_argument(f"--{f.name}", type=ftype, default=f.default)
+    ns = parser.parse_args()
+    return MarionetteConfig(**vars(ns))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from neural_marionette_tpu.config import adjust_config, \
+        derive_training_id
+    from neural_marionette_tpu.data import DataLoader, load_dataset, \
+        prefetch_to_device
+    from neural_marionette_tpu.eval import evaluate
+    from neural_marionette_tpu.models import NeuralMarionette, SkeletonArrays
+    from neural_marionette_tpu.parallel import make_mesh, replicate
+    from neural_marionette_tpu.skeleton import extract_skeleton
+    from neural_marionette_tpu.train import (
+        LossScheduler, MetricLogger, create_train_state, make_eval_step,
+        make_generate_step, make_train_step, set_learning_rate)
+    from neural_marionette_tpu.train.checkpoint import CheckpointManager
+    from neural_marionette_tpu.utils.console import (COLORS, display_it,
+                                                     display_opts,
+                                                     display_phase)
+
+    cfg = parse_args()
+    cfg = adjust_config(cfg)
+    cfg = derive_training_id(cfg)
+    np.random.seed(cfg.seed)
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    display_opts(cfg)
+
+    # ------------------------------------------------------------------ data
+    dataset_train = load_dataset(True, cfg)
+    dataset_valid = load_dataset(False, cfg)
+    loader_train = DataLoader(dataset_train, cfg.nbatch, shuffle=True,
+                              seed=cfg.seed)
+    loader_valid = DataLoader(dataset_valid, cfg.nbatch, shuffle=False,
+                              seed=cfg.seed)
+
+    # ----------------------------------------------------------------- model
+    mesh = make_mesh(data=cfg.mesh_data, model=cfg.mesh_model)
+    model = NeuralMarionette(cfg)
+    sched = LossScheduler(cfg)
+    sched.anneal(0)
+
+    example = dataset_train[0]
+    if isinstance(example, tuple):
+        example = example[0]
+    example_batch = jnp.asarray(example[None])
+    sk_placeholder = SkeletonArrays.chain(cfg.nkeypoints)
+    params = model.init({"params": jax.random.PRNGKey(cfg.seed),
+                         "sample": jax.random.PRNGKey(cfg.seed + 1)},
+                        _to_voxels(example_batch, cfg),
+                        detector_active=True, learner_active=True,
+                        skeleton=sk_placeholder)
+    state = create_train_state(cfg, replicate(mesh, params),
+                               jax.random.PRNGKey(cfg.seed + 2))
+
+    logger_path = os.path.join(cfg.output_root, cfg.training_id,
+                               cfg.exp_name)
+    os.makedirs(logger_path, exist_ok=True)
+    cfg.save_json(os.path.join(logger_path, "opt.json"))
+    ckpt_mgr = CheckpointManager(logger_path, cfg.save_que_len)
+
+    # resume (reference train.py:238-265 semantics: explicit epoch or latest)
+    start_epoch = 0
+    skeleton = None
+    latest = ckpt_mgr.latest_epoch()
+    want = None if cfg.resume_epoch == "0" else int(cfg.resume_epoch)
+    if want is not None and latest is None:
+        raise ValueError("No previous checkpoints from this setting.")
+    if latest is not None:
+        state, skeleton, meta = ckpt_mgr.restore(state, want)
+        start_epoch = meta["epoch"] + 1
+        print(f"{COLORS.OKGREEN}resumed from epoch {meta['epoch']}"
+              f"{COLORS.ENDC}")
+    elif cfg.pretrained_mode == 1:
+        # load pretrained detector params (reference train.py:270-278)
+        pre = os.path.join(cfg.pretrained_dir, "detector",
+                           f"{cfg.dataset}_detector")
+        if os.path.isdir(pre):
+            from neural_marionette_tpu.train.checkpoint import \
+                load_params_only
+            det_params, _, _ = load_params_only(pre, state)
+            merged = dict(state.params["params"])
+            merged["kypt_detector"] = det_params["params"]["kypt_detector"]
+            state = state.replace(params={"params": merged})
+            print(f"loaded pretrained detector from {pre}")
+        elif os.path.exists(pre + ".pth"):
+            from neural_marionette_tpu.utils.torch_convert import \
+                load_torch_detector
+            state = load_torch_detector(pre + ".pth", state, cfg)
+            print(f"converted pretrained torch detector from {pre}.pth")
+        else:
+            raise ValueError(f"pretrained file is not existing: {pre}")
+
+    # ------------------------------------------------------------- tb / logs
+    writer = _make_writer(os.path.join(logger_path, "logs"), start_epoch)
+    metrics_file = open(os.path.join(logger_path, "metrics.jsonl"), "a")
+    train_log, valid_log = MetricLogger(), MetricLogger()
+    eval_metrics = ["semantic"] if cfg.is_eval else []
+
+    # ------------------------------------------------------------ epoch loop
+    step_cache = {}
+    eval_scores = {name: None for name in eval_metrics}
+    for epoch_id in range(start_epoch, cfg.nepoch):
+        t_epoch = time.time()
+        dataset_train.log_epoch(epoch_id)
+        dataset_valid.log_epoch(epoch_id)
+        sched.anneal(epoch_id)
+        if epoch_id % cfg.log_gif_every == 0:
+            display_phase(sched)
+
+        det_act = sched.module_actives["detector"]
+        lrn_act = sched.module_actives["learner"]
+        aff_act = sched.affinity_active
+
+        # skeleton: extract once when the learner turns on
+        if lrn_act and skeleton is None:
+            aff = model.apply(state.params,
+                              method=lambda m: m.kypt_detector.get_affinity())
+            skeleton = extract_skeleton(np.asarray(aff))
+            print(f"{COLORS.WARNING}skeleton extracted: parents="
+                  f"{skeleton.parents.tolist()}{COLORS.ENDC}")
+        sk_arrays = (SkeletonArrays.from_skeleton(skeleton)
+                     if skeleton is not None else None)
+
+        key = sched.phase_key()
+        if key not in step_cache:
+            step_cache[key] = dict(
+                train=make_train_step(model, cfg, sched.active_weights(),
+                                      det_act, lrn_act, aff_act, mesh=mesh,
+                                      donate=False),
+                eval=make_eval_step(model, cfg, sched.active_weights(),
+                                    det_act, lrn_act, aff_act, mesh=mesh),
+                gen=(make_generate_step(model, cfg, aff_act, mesh=mesh)
+                     if lrn_act else None),
+            )
+        steps = step_cache[key]
+        state = set_learning_rate(state, sched.learning_rate(epoch_id))
+
+        # ------------------------------------------------------------ train
+        for batch_id, batch in enumerate(
+                prefetch_to_device(iter(loader_train), mesh=mesh)):
+            points = batch[0] if isinstance(batch, tuple) else batch
+            state, metrics = steps["train"](state, points, sk_arrays)
+            if batch_id % 50 == 0:
+                metrics = jax.tree.map(float, metrics)
+                train_log.add_dict(metrics)
+                display_it("train", "total loss", cfg, epoch_id, batch_id,
+                           metrics["total_loss"])
+            else:
+                train_log.add("total_loss", float(metrics["total_loss"]))
+
+        # ------------------------------------------------------- validation
+        first_tensors, first_gen, first_batch = None, None, None
+        for batch_id, batch in enumerate(
+                prefetch_to_device(iter(loader_valid), mesh=mesh)):
+            if isinstance(batch, tuple):
+                points, gt_kypt = batch
+            else:
+                points, gt_kypt = batch, None
+            metrics, tensors = steps["eval"](
+                state.params, points, sk_arrays,
+                jax.random.fold_in(jax.random.PRNGKey(cfg.seed), batch_id))
+            valid_log.add_dict(jax.tree.map(float, metrics))
+            if batch_id == 0:
+                first_tensors = tensors
+                first_batch = points
+                if steps["gen"] is not None:
+                    first_gen = steps["gen"](
+                        state.params, points, sk_arrays,
+                        jax.random.PRNGKey(cfg.seed + epoch_id))
+            if cfg.is_eval and gt_kypt is not None:
+                for name in eval_metrics:
+                    out = evaluate(name, eval_scores[name], dict(
+                        keypoints=np.asarray(tensors["keypoints"]),
+                        gt_keypoints=np.asarray(gt_kypt)))
+                    eval_scores[name] = out["scores"]
+                    valid_log.add(name, out["scores_log"])
+                    display_it("eval", name, cfg, epoch_id, batch_id,
+                               out["scores_log"])
+
+        # --------------------------------------------------------- logging
+        train_means = train_log.reset()
+        valid_means = valid_log.reset()
+        record = {"epoch": epoch_id, "lr": sched.learning_rate(epoch_id),
+                  "time": time.time() - t_epoch,
+                  "train": train_means, "valid": valid_means}
+        metrics_file.write(json.dumps(record) + "\n")
+        metrics_file.flush()
+        if writer is not None and epoch_id % cfg.log_every == 0:
+            for k, v in train_means.items():
+                writer.add_scalar(f"train/{k}", v, epoch_id)
+            for k, v in valid_means.items():
+                writer.add_scalar(f"valid/{k}", v, epoch_id)
+
+        if (epoch_id % cfg.log_gif_every == 0 or epoch_id < 10) \
+                and first_tensors is not None:
+            _log_gifs(writer, cfg, logger_path, epoch_id, first_batch,
+                      first_tensors, first_gen, skeleton)
+
+        # ------------------------------------------------------ checkpoints
+        if epoch_id % cfg.save_every == 0:
+            ckpt_mgr.save(epoch_id, state, skeleton)
+
+    print(f"{COLORS.OKGREEN}training complete{COLORS.ENDC}")
+
+
+def _to_voxels(batch, cfg):
+    from neural_marionette_tpu.ops import voxelize_jnp
+    if batch.ndim == 4 and batch.shape[-1] == 3:
+        return voxelize_jnp(batch, cfg.grid_size)
+    return batch
+
+
+def _make_writer(log_dir, purge_step):
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        os.makedirs(log_dir, exist_ok=True)
+        return SummaryWriter(log_dir=log_dir, purge_step=purge_step,
+                             flush_secs=30)
+    except Exception as e:  # tensorboard not installed
+        print(f"tensorboard unavailable ({e}); JSONL metrics only")
+        return None
+
+
+def _log_gifs(writer, cfg, logger_path, epoch_id, batch, tensors, gen,
+              skeleton):
+    from neural_marionette_tpu.viz.visualize import vis_keypoints, vis_recon
+    vox = np.asarray(_to_voxels(batch, cfg))
+    n = min(cfg.log_gif_num, vox.shape[0])
+    videos = {}
+    if "recon" in tensors:
+        videos["track/recon"] = vis_recon(
+            vox, np.asarray(tensors["recon"]), logger_path, epoch_id,
+            log_num=n, group="track")
+    if "keypoints" in tensors:
+        aff = tensors.get("affinity")
+        videos["track/keypoints"] = vis_keypoints(
+            vox, np.asarray(tensors["keypoints"]), logger_path, epoch_id,
+            affinity=None if aff is None else np.asarray(aff), log_num=n,
+            group="track")
+    if gen is not None:
+        videos["gen/recon"] = vis_recon(
+            vox, np.asarray(gen["gen"]), logger_path, epoch_id, log_num=n,
+            group="gen", Tcond=cfg.Tcond)
+        videos["gen/keypoints"] = vis_keypoints(
+            vox, np.asarray(gen["keypoints"]), logger_path, epoch_id,
+            affinity=skeleton.A if skeleton is not None else None,
+            log_num=n, group="gen", Tcond=cfg.Tcond,
+            mode="A" if skeleton is not None else "affinity")
+    if writer is not None:
+        import torch
+        for tag, vid in videos.items():
+            t = torch.from_numpy(vid.transpose(0, 1, 4, 2, 3))  # B,T,C,H,W
+            for i in range(t.shape[0]):
+                writer.add_video(f"{tag}_{i}", t[i:i + 1], epoch_id)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""Motion generation demo (reference vis_generation.py).
+
+Condition on the first ``Tcond`` frames of a clip, collapse to the best
+posterior latent per step, then roll ``sample_num`` independent prior
+trajectories forward and decode each back to voxels.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models.dynamics import HSVRNNBVH, SkeletonArrays
+from ..models.marionette import NeuralMarionette
+from .common import DemoContext, detect_and_extract_skeleton
+
+
+def run_generation(ctx: DemoContext, vox_clip: np.ndarray,
+                   Tcond: int = 5, Tgen: int = 25, sample_num: int = 3,
+                   seed: int = 2, threshold: float = 0.5):
+    """vox_clip: (Tcond, G, G, G, 1) conditioning frames.
+
+    Returns dict with generated voxels (sample_num, Tcond+Tgen, G, G, G, 1),
+    keypoints, and the skeleton."""
+    model, params = ctx.model, ctx.params
+    det, skeleton = detect_and_extract_skeleton(ctx, vox_clip[:Tcond])
+    keypoints = det["keypoints"]  # (1, Tcond, K, 4)
+    sk = SkeletonArrays.from_skeleton(skeleton)
+
+    cond_kp, gen_kp = model.apply(
+        params, keypoints, sk, Ttot=Tcond + Tgen, Tcond=Tcond,
+        sample_num=sample_num,
+        method=lambda m, *a, **k: m.dyna_module.generate_many(*a, **k),
+        rngs={"sample": jax.random.PRNGKey(seed)})
+
+    first_feature = det["first_feature"]
+    first_frame = jnp.asarray(vox_clip[None, 0])
+    vox_out, kp_out = [], []
+    for s in range(sample_num):
+        full_kp = jnp.concatenate([cond_kp, gen_kp[s:s + 1]], axis=1)
+        dec = model.apply(
+            params, full_kp, first_feature, first_frame,
+            method=lambda m, *a: m.kypt_detector.decode_from_dyna(*a))
+        vox = np.asarray(dec["gen"][0])
+        vox_out.append((vox >= threshold).astype(np.float32))
+        kp_out.append(np.asarray(full_kp[0]))
+    return dict(gen_voxels=np.stack(vox_out), keypoints=np.stack(kp_out),
+                skeleton=skeleton, cond_keypoints=np.asarray(cond_kp[0]))
+
+
+def save_outputs(result: dict, out_dir: str, vox_cond=None) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, "gen_voxels.npy"), result["gen_voxels"])
+    np.save(os.path.join(out_dir, "keypoints.npy"), result["keypoints"])
+    np.save(os.path.join(out_dir, "parents.npy"),
+            result["skeleton"].parents)
+    from ..viz.visualize import vis_keypoints, vis_recon
+    gv = result["gen_voxels"][..., :]
+    kp = result["keypoints"]
+    vis_keypoints(gv, kp, logger_path=out_dir, nepoch=0,
+                  affinity=result["skeleton"].A, log_num=gv.shape[0],
+                  group="generation", mode="A")
+    if vox_cond is not None:
+        ref = np.broadcast_to(
+            np.concatenate([vox_cond,
+                            np.zeros_like(gv[0][vox_cond.shape[0]:])])[None],
+            gv.shape)
+        vis_recon(ref, gv, logger_path=out_dir, nepoch=0,
+                  log_num=gv.shape[0], group="generation",
+                  Tcond=vox_cond.shape[0])

@@ -149,6 +149,137 @@ class HSVRNNBVH(nn.Module):
         processed = jnp.concatenate([pos, intensity[..., None]], axis=-1)
         return processed.reshape(processed.shape[0], -1), R_glob
 
+    # ----------------------------------------------------- demo rollouts
+    def generate_many(self, keypoints_cond, skeleton: SkeletonArrays,
+                      Ttot: int, Tcond: int, sample_num: int = 3):
+        """Conditioned collapse then ``sample_num`` INDEPENDENT prior
+        rollouts (the vis_generation demo loop, reference
+        vis_generation.py:92-127): per conditioning step draw sample_num
+        posterior samples, collapse everything to the best one; then fan the
+        state out and roll each sample forward independently.
+
+        Returns (cond_keypoints (1, Tcond, K, 4),
+                 gen_keypoints (sample_num, Ttot-Tcond, K, 4)).
+        """
+        B, _, K, _ = keypoints_cond.shape
+        assert B == 1, "demo path is single-clip"
+        offset = self.get_offset(keypoints_cond, skeleton.parents)
+        offset_rep = jnp.tile(offset, (sample_num, 1, 1))
+        h = jnp.broadcast_to(self.init_state, (1, self._H))
+        rng = self.make_rng("sample")
+        cond_keys = jax.random.split(jax.random.fold_in(rng, 0), Tcond)
+
+        def cond_step(h, inp):
+            key, keypoint = inp
+            keypoint_flat = keypoint.reshape(1, -1)
+            post_mean, post_std = self._dist_params(
+                jnp.concatenate([h, keypoint_flat], axis=-1),
+                self.post_l1, self.post_l2)
+            eps = jax.random.normal(key, (sample_num, 1, self._Z),
+                                    dtype=post_mean.dtype)
+            z_samples = post_mean[None] + post_std[None] * eps
+            best_z, best_kypt, _ = self._best_of_n(
+                h, z_samples, offset_rep, skeleton, keypoint_flat)
+            h_new = self._gru(
+                jnp.concatenate([best_kypt, best_z], axis=-1), h)
+            return h_new, keypoint_flat[0]
+
+        h, cond_kypts = jax.lax.scan(
+            cond_step, h, (cond_keys, jnp.moveaxis(keypoints_cond, 1, 0)))
+        cond_keypoints = cond_kypts.reshape(1, Tcond, K, -1)
+
+        # fan out: sample_num independent prior rollouts
+        h_many = jnp.broadcast_to(h, (sample_num, self._H))
+        gen_keys = jax.random.split(jax.random.fold_in(rng, 1), Ttot - Tcond)
+
+        def gen_step(h, key):
+            prior_mean, prior_std = self._dist_params(
+                h, self.prior_l1, self.prior_l2)
+            eps = jax.random.normal(key, prior_mean.shape,
+                                    dtype=prior_mean.dtype)
+            z = prior_mean + prior_std * eps
+            kypt_flat, _ = self.extract_kypt_from_latent_and_state(
+                jnp.concatenate([h, z], axis=-1), offset_rep, skeleton)
+            h_new = self._gru(jnp.concatenate([kypt_flat, z], axis=-1), h)
+            return h_new, kypt_flat
+
+        _, gen_kypts = jax.lax.scan(gen_step, h_many, gen_keys)
+        gen_keypoints = jnp.moveaxis(gen_kypts, 0, 1).reshape(
+            sample_num, Ttot - Tcond, K, -1)
+        return cond_keypoints, gen_keypoints
+
+    def interpolate(self, keypoints, skeleton: SkeletonArrays,
+                    anchor_rate: int = 10, sample_num: int = 256):
+        """Anchor-constrained latent in-betweening (the vis_interpolation
+        demo, reference vis_interpolation.py:91-136): run ``sample_num``
+        parallel prior rollouts between anchor frames; at each anchor,
+        collapse to the best posterior sample vs the detected keypoints and
+        retroactively keep the in-between trajectory whose extra prior
+        sample lands closest to that anchor.
+
+        Returns selected keypoints (1, T, K, 4) with intensities frozen to
+        frame 0 (reference :136).
+        """
+        B, T, K, _ = keypoints.shape
+        assert B == 1
+        S = sample_num
+        offset = self.get_offset(keypoints, skeleton.parents)
+        offset_rep = jnp.tile(offset, (S, 1, 1))
+        h = jnp.broadcast_to(self.init_state, (S, self._H))
+        rng = self.make_rng("sample")
+
+        selected = []
+        segment = []  # list of (S, K*4) per in-between step
+
+        for t in range(T):
+            key = jax.random.fold_in(rng, t)
+            keypoint_flat = jnp.broadcast_to(
+                keypoints[:, t].reshape(1, -1), (S, K * 4))
+            if t % anchor_rate == 0 or t == T - 1:
+                post_mean, post_std = self._dist_params(
+                    jnp.concatenate([h, keypoint_flat], axis=-1),
+                    self.post_l1, self.post_l2)
+                prior_mean, prior_std = self._dist_params(
+                    h, self.prior_l1, self.prior_l2)
+                k1, k2 = jax.random.split(key)
+                z_post = post_mean + post_std * jax.random.normal(
+                    k1, post_mean.shape, post_mean.dtype)
+                z_choose = prior_mean + prior_std * jax.random.normal(
+                    k2, prior_mean.shape, prior_mean.dtype)
+                kp_post, _ = self.extract_kypt_from_latent_and_state(
+                    jnp.concatenate([h, z_post], axis=-1), offset_rep,
+                    skeleton)
+                kp_choose, _ = self.extract_kypt_from_latent_and_state(
+                    jnp.concatenate([h, z_choose], axis=-1), offset_rep,
+                    skeleton)
+                # collapse to best posterior sample vs detected keypoints
+                best = jnp.argmin(jnp.sum(
+                    (kp_post - keypoint_flat) ** 2, axis=-1))
+                kp_flat = jnp.broadcast_to(kp_post[best][None], (S, K * 4))
+                z = jnp.broadcast_to(z_post[best][None], z_post.shape)
+                h = jnp.broadcast_to(h[best][None], h.shape)
+                # retroactively select the in-between trajectory
+                choose = jnp.argmin(jnp.sum(
+                    (kp_choose - kp_flat) ** 2, axis=-1))
+                segment.append(keypoint_flat)
+                for stored in segment:
+                    selected.append(stored[choose].reshape(K, 4))
+                segment = []
+            else:
+                prior_mean, prior_std = self._dist_params(
+                    h, self.prior_l1, self.prior_l2)
+                z = prior_mean + prior_std * jax.random.normal(
+                    key, prior_mean.shape, prior_mean.dtype)
+                kp_flat, _ = self.extract_kypt_from_latent_and_state(
+                    jnp.concatenate([h, z], axis=-1), offset_rep, skeleton)
+                segment.append(kp_flat)
+            h = self._gru(jnp.concatenate([kp_flat, z], axis=-1), h)
+
+        out = jnp.stack(selected, axis=0)[None]  # (1, T', K, 4)
+        # freeze intensities to frame 0 (vis_interpolation.py:136)
+        out = out.at[0, :, :, -1].set(out[0, 0, :, -1])
+        return out
+
     def get_offset(self, keypoints, parents):
         """Bone offsets: median inter-keypoint distance to parent scaled
         frozen unit directions (hsvrnn_bvh.py:236-253).

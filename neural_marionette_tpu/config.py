@@ -142,6 +142,9 @@ class MarionetteConfig:
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # bfloat16 optionally for conv stacks
     debug_nans: int = 0
+    profile_dir: str = ""  # capture a jax.profiler trace of early steps
+    num_workers: int = 4   # loader threads
+    n_points: int = 4096   # fixed per-frame point count shipped to device
 
     # ----------------------------------------------------------------- utils
     def replace(self, **kw) -> "MarionetteConfig":

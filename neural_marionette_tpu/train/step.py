@@ -36,8 +36,12 @@ def _constrain_batch(batch, mesh: Optional[Mesh]):
 def _as_voxels(batch, cfg: MarionetteConfig):
     """Accept either voxel batches (B, T, G, G, G, 1) or raw point batches
     (B, T, N, 3) — points are scattered into the occupancy grid ON DEVICE
-    (the reference voxelizes per frame on the host, dataset.py:79-86)."""
+    (the reference voxelizes per frame on the host, dataset.py:79-86).
+    On TPU the Pallas one-hot-matmul kernel does the scatter."""
     if batch.ndim == 4 and batch.shape[-1] == 3:
+        if jax.default_backend() == "tpu":
+            from ..ops.pallas import voxelize_pallas
+            return voxelize_pallas(batch, cfg.grid_size)
         return voxelize_jnp(batch, cfg.grid_size)
     return batch
 

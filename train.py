@@ -59,12 +59,16 @@ def main():
                                                      display_opts,
                                                      display_phase)
 
+    from neural_marionette_tpu.parallel.distributed import (
+        install_preemption_handler, preempted)
+
     cfg = parse_args()
     cfg = adjust_config(cfg)
     cfg = derive_training_id(cfg)
     np.random.seed(cfg.seed)
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    install_preemption_handler()
     display_opts(cfg)
 
     # ------------------------------------------------------------------ data
@@ -178,10 +182,17 @@ def main():
         state = set_learning_rate(state, sched.learning_rate(epoch_id))
 
         # ------------------------------------------------------------ train
+        profiling = bool(cfg.profile_dir) and epoch_id == start_epoch + 1
+        if profiling:
+            jax.profiler.start_trace(cfg.profile_dir)
         for batch_id, batch in enumerate(
                 prefetch_to_device(iter(loader_train), mesh=mesh)):
             points = batch[0] if isinstance(batch, tuple) else batch
             state, metrics = steps["train"](state, points, sk_arrays)
+            if profiling and batch_id == 2:
+                jax.block_until_ready(metrics["total_loss"])
+                jax.profiler.stop_trace()
+                profiling = False
             if batch_id % 50 == 0:
                 metrics = jax.tree.map(float, metrics)
                 train_log.add_dict(metrics)
@@ -241,6 +252,12 @@ def main():
         # ------------------------------------------------------ checkpoints
         if epoch_id % cfg.save_every == 0:
             ckpt_mgr.save(epoch_id, state, skeleton)
+
+        if preempted():
+            print(f"{COLORS.FAIL}SIGTERM received: checkpointing and "
+                  f"exiting at epoch {epoch_id}{COLORS.ENDC}")
+            ckpt_mgr.save(epoch_id, state, skeleton)
+            return
 
     print(f"{COLORS.OKGREEN}training complete{COLORS.ENDC}")
 

@@ -41,8 +41,12 @@ class PointSequenceDataset:
 
     def __init__(self, train: bool = True,
                  options: Optional[MarionetteConfig] = None,
-                 n_points: int = 4096):
+                 n_points: int = 4096, output: str = "points"):
         cfg = options or MarionetteConfig()
+        #: "points" ships (T, N, 3) windows for on-device voxelization (the
+        #: TPU-native default); "voxels" voxelizes on the host (via the
+        #: native C++ lib when built) for reference-compatible pipelines.
+        self.output = output
         self.cfg = cfg
         self.train = train
         self.split = "train" if train else "test"
@@ -93,6 +97,9 @@ class PointSequenceDataset:
             pts = out
         pts = fix_point_count(pts.astype(np.float32), self.n_points,
                               self._np_rng)
+        if self.output == "voxels":
+            from .native import voxelize_batch
+            pts = voxelize_batch(pts, self.grid_size)
         if joints is not None:
             return pts, joints.astype(np.float32)
         return pts

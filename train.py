@@ -81,7 +81,9 @@ def main():
 
     # ----------------------------------------------------------------- model
     mesh = make_mesh(data=cfg.mesh_data, model=cfg.mesh_model)
-    model = NeuralMarionette(cfg)
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" \
+        else jnp.float32
+    model = NeuralMarionette(cfg, dtype=compute_dtype)
     sched = LossScheduler(cfg)
     sched.anneal(0)
 

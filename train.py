@@ -261,6 +261,17 @@ def main():
             ckpt_mgr.save(epoch_id, state, skeleton)
             return
 
+    # final eval CSV dump (reference evaluate_final, eval_utils.py:12-26)
+    if cfg.is_eval:
+        from neural_marionette_tpu.eval import semantic_final
+        for name in eval_metrics:
+            if name == "semantic" and eval_scores[name] is not None:
+                score = semantic_final(eval_scores[name])
+                out = os.path.join(logger_path, "semantic_result.csv")
+                np.savetxt(out, eval_scores[name] /
+                           max(eval_scores[name][0].sum(), 1),
+                           delimiter=",")
+                print(f"final semantic score: {score:.4f} -> {out}")
     print(f"{COLORS.OKGREEN}training complete{COLORS.ENDC}")
 
 

@@ -28,12 +28,14 @@ def main():
     from neural_marionette_tpu.models import NeuralMarionette, SkeletonArrays
     from neural_marionette_tpu.ops import voxelize_jnp
 
-    B = int(os.environ.get("NM_BENCH_B", "8"))
+    B = int(os.environ.get("NM_BENCH_B", "4"))
     iters = int(os.environ.get("NM_BENCH_ITERS", "20"))
+    dtype_name = os.environ.get("NM_BENCH_DTYPE", "bfloat16")
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
     cfg = adjust_config(MarionetteConfig(dataset="aist"))  # G=64 K=24 T=10
     T, G = cfg.Ttot, cfg.grid_size
-    model = NeuralMarionette(cfg)
+    model = NeuralMarionette(cfg, dtype=dtype)
 
     rng = np.random.default_rng(0)
     pts = jnp.asarray(rng.uniform(-0.8, 0.8, size=(B, T, 2048, 3)),

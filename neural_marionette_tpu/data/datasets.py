@@ -131,21 +131,35 @@ class DFAUST(_TwoLevelListing, PointSequenceDataset):
 
 class AIST(PointSequenceDataset):
     """data/aist_plusplus_smpl_joints/{surface,joints}/<split>/<seq>.npy
-    with GT joints when is_eval (dataset.py:94-186)."""
+    with GT joints when is_eval (dataset.py:94-186).
 
-    def __init__(self, train=True, options=None, **kw):
+    ``align_root=True`` cancels global dance orientation with the stored
+    yaw root-alignment matrices (reference dataset.py:161-164).  Simplified
+    here: the whole sequence is rotated by its first frame's alignment
+    before windowing (the reference rotates the normalized window by the
+    window-start alignment; the option is unused by any reference training
+    or demo path).
+    """
+
+    def __init__(self, train=True, options=None, align_root=False, **kw):
         cfg = options or MarionetteConfig()
         base = os.path.join(cfg.data_root, "aist_plusplus_smpl_joints")
         split = "train" if train else "test"
         self.root = os.path.join(base, "surface", split)
         self.joint_root = os.path.join(base, "joints", split)
+        self.align_root_dir = os.path.join(base, "root_aligns", split)
+        self.align_root = align_root
         super().__init__(train, options, **kw)
 
     def _list_sequences(self):
         return sorted(os.listdir(self.root))
 
     def _load_points(self, rel):
-        return np.load(os.path.join(self.root, rel))
+        pts = np.load(os.path.join(self.root, rel))
+        if self.align_root:
+            r = np.load(os.path.join(self.align_root_dir, rel))  # (T, 3, 3)
+            pts = np.einsum("ij,tnj->tni", r[0], pts[..., :3])
+        return pts
 
     def _load_joints(self, rel):
         return np.load(os.path.join(self.joint_root, rel))

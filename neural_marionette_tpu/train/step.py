@@ -74,7 +74,7 @@ def make_train_step(model: NeuralMarionette, cfg: MarionetteConfig,
     def step_fn(state: TrainState, batch,
                 skeleton: Optional[SkeletonArrays]):
         batch = _as_voxels(_constrain_batch(batch, mesh), cfg)
-        rng, sample_rng = jax.random.split(state.rng)
+        rng, sample_rng, gumbel_rng = jax.random.split(state.rng, 3)
 
         def loss_fn(params):
             out = model.apply(params, batch,
@@ -82,7 +82,8 @@ def make_train_step(model: NeuralMarionette, cfg: MarionetteConfig,
                               learner_active=learner_active,
                               affinity_active=affinity_active,
                               skeleton=skeleton,
-                              rngs={"sample": sample_rng})
+                              rngs={"sample": sample_rng,
+                                    "gumbel": gumbel_rng})
             return total_loss(out, w, batch.dtype)
 
         (loss, metrics), grads = jax.value_and_grad(
@@ -115,7 +116,8 @@ def make_eval_step(model: NeuralMarionette, cfg: MarionetteConfig,
                           learner_active=learner_active,
                           affinity_active=affinity_active,
                           skeleton=skeleton,
-                          rngs={"sample": sample_rng})
+                          rngs={"sample": sample_rng,
+                                "gumbel": jax.random.fold_in(sample_rng, 1)})
         _, metrics = total_loss(out, w, batch.dtype)
         tensors = {k: out[k] for k in
                    ("recon", "keypoints", "affinity", "kypt_recon")

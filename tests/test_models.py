@@ -103,6 +103,23 @@ def test_affinity_other_versions(ver):
     assert np.isfinite(aff).all()
 
 
+def test_affinity_ver4_gumbel():
+    cfg = tiny_cfg(affinity_ver=4, graph_random_init=1)
+    det = KyptDetector(cfg)
+    x = jnp.zeros((1, 2, 32, 32, 32, 1))
+    params = det.init({"params": jax.random.PRNGKey(0),
+                       "gumbel": jax.random.PRNGKey(1)}, x)
+    K = cfg.nkeypoints
+    a = np.asarray(det.apply(params, method=lambda m: m.get_affinity(),
+                             rngs={"gumbel": jax.random.PRNGKey(2)}))[..., 0]
+    b = np.asarray(det.apply(params, method=lambda m: m.get_affinity(),
+                             rngs={"gumbel": jax.random.PRNGKey(3)}))[..., 0]
+    np.testing.assert_allclose(np.diagonal(a, axis1=1, axis2=2), 0,
+                               atol=1e-7)
+    np.testing.assert_allclose(a.sum(-1), 1.0, atol=1e-5)
+    assert not np.allclose(a, b)  # stochastic across rng keys
+
+
 def test_const_intensity_modes(voxseq):
     for ci in [0, 1, 2, 4]:
         cfg = tiny_cfg(const_intensity=ci)

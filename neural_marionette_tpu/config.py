@@ -143,6 +143,7 @@ class MarionetteConfig:
     compute_dtype: str = "float32"  # bfloat16 optionally for conv stacks
     debug_nans: int = 0
     profile_dir: str = ""  # capture a jax.profiler trace of early steps
+    remat: int = 0  # rematerialize detector conv stacks (memory for FLOPs)
     num_workers: int = 4   # loader threads
     n_points: int = 4096   # fixed per-frame point count shipped to device
 

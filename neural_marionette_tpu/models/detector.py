@@ -96,8 +96,11 @@ class VoxToKyptNet(nn.Module):
         self.feat_dim = cfg.feat_dim
         self.heat_grid = cfg.grid_size // 4
         ci = cfg.const_intensity
-        self.extract_features = FeatureNet(self.feat_dim, cfg.grid_size,
-                                           dtype=self.dtype)
+        # jax.checkpoint on the conv pyramids trades recompute for HBM so
+        # larger B*T fits during training (cfg.remat)
+        feature_cls = nn.remat(FeatureNet) if cfg.remat else FeatureNet
+        self.extract_features = feature_cls(self.feat_dim, cfg.grid_size,
+                                            dtype=self.dtype)
         self.extract_heatmaps = HeatmapHead(
             cfg.nkeypoints, act=("leakyrelu" if ci else "softplus"),
             dtype=self.dtype)
@@ -109,7 +112,7 @@ class VoxToKyptNet(nn.Module):
                 "initial_heatmaps", normal(stddev=1.0),
                 (self.heat_grid,) * 3 + (cfg.nkeypoints,))
         elif ci in (2, 3, 4):
-            self.extract_st_features = FeatureNet(
+            self.extract_st_features = feature_cls(
                 self.feat_dim * 2, cfg.grid_size, dtype=self.dtype)
             self.extract_st_heatmaps = HeatmapHead(
                 cfg.nkeypoints, act="leakyrelu", dtype=self.dtype)
@@ -260,7 +263,8 @@ class KyptToVoxNet(nn.Module):
         x = nn.Conv(feat_dim, (1, 1, 1), kernel_init=PLAIN_CONV_INIT,
                     bias_init=zeros_init(), dtype=self.dtype)(combined)
         x = leaky_relu(x)
-        logits = VoxelDecoder(feat_dim, dtype=self.dtype)(x)
+        decoder_cls = nn.remat(VoxelDecoder) if cfg.remat else VoxelDecoder
+        logits = decoder_cls(feat_dim, dtype=self.dtype)(x)
 
         ff0 = jnp.broadcast_to(first_frame[:, None],
                                (B, T) + first_frame.shape[1:])

@@ -1,0 +1,91 @@
+"""Sharding consistency: the same step on a 1-device vs 8-device mesh must
+produce (numerically close) identical results — the collectives introduced
+by sharding must not change semantics."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from neural_marionette_tpu.config import MarionetteConfig
+from neural_marionette_tpu.models import NeuralMarionette, SkeletonArrays
+from neural_marionette_tpu.ops import voxelize_jnp
+from neural_marionette_tpu.parallel import make_mesh, shard_batch, replicate
+from neural_marionette_tpu.train import create_train_state, make_train_step
+
+
+def tiny_cfg():
+    return MarionetteConfig(
+        grid_size=32, nkeypoints=4, input_dim=3, Ttot=4, Tcond=2,
+        nlatent_kypt=8, nhidden_kypt=16, const_intensity=3, affinity_ver=3,
+        nneighbor=2, feat_dim=32, lrate=1e-3, remat=1)
+
+
+def test_mesh_shapes():
+    m = make_mesh(data=4, model=2)
+    assert dict(zip(m.axis_names, m.devices.shape)) == {"data": 4,
+                                                        "model": 2}
+    with pytest.raises(AssertionError):
+        make_mesh(data=3, model=2)
+
+
+def test_sharded_step_matches_single_device():
+    cfg = tiny_cfg()
+    model = NeuralMarionette(cfg)
+    g = np.random.default_rng(0)
+    pts = jnp.asarray(g.uniform(-0.7, 0.7, size=(8, 4, 128, 3)),
+                      dtype=jnp.float32)
+    batch = voxelize_jnp(pts, cfg.grid_size)
+    sk = SkeletonArrays.chain(cfg.nkeypoints)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "sample": jax.random.PRNGKey(1)},
+                        batch, detector_active=True, learner_active=True,
+                        skeleton=sk)
+    weights = {"recon_loss": 100.0, "sparsity_loss": 5.0,
+               "separation_loss": 0.1, "vol_fit_reg": 10.0,
+               "kypt_recon_loss": 1.0, "kl_kypt": 0.003}
+
+    results = {}
+    for name, mesh in [("single", make_mesh(data=1, model=1,
+                                            devices=jax.devices()[:1])),
+                       ("mesh8", make_mesh(data=4, model=2))]:
+        state = create_train_state(cfg, replicate(mesh, params),
+                                   jax.random.PRNGKey(9))
+        step = make_train_step(model, cfg, weights, True, True, True,
+                               mesh=mesh, donate=False)
+        sharded = shard_batch(mesh, batch)
+        for _ in range(2):
+            state, metrics = step(state, sharded, sk)
+        results[name] = (jax.tree.map(np.asarray, state.params),
+                         float(metrics["total_loss"]))
+
+    assert results["single"][1] == pytest.approx(results["mesh8"][1],
+                                                 rel=2e-4)
+    for a, b in zip(jax.tree.leaves(results["single"][0]),
+                    jax.tree.leaves(results["mesh8"][0])):
+        np.testing.assert_allclose(a, b, atol=5e-5)
+
+
+def test_same_seed_determinism():
+    cfg = tiny_cfg()
+    model = NeuralMarionette(cfg)
+    g = np.random.default_rng(1)
+    pts = jnp.asarray(g.uniform(-0.7, 0.7, size=(4, 4, 128, 3)),
+                      dtype=jnp.float32)
+    batch = voxelize_jnp(pts, cfg.grid_size)
+    sk = SkeletonArrays.chain(cfg.nkeypoints)
+    mesh = make_mesh(data=4, model=2)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "sample": jax.random.PRNGKey(1)},
+                        batch, detector_active=True, learner_active=True,
+                        skeleton=sk)
+    weights = {"recon_loss": 100.0, "kypt_recon_loss": 1.0}
+
+    losses = []
+    for _ in range(2):
+        state = create_train_state(cfg, replicate(mesh, params),
+                                   jax.random.PRNGKey(3))
+        step = make_train_step(model, cfg, weights, True, True, True,
+                               mesh=mesh, donate=False)
+        state, metrics = step(state, shard_batch(mesh, batch), sk)
+        losses.append(float(metrics["total_loss"]))
+    assert losses[0] == losses[1]

@@ -1,0 +1,59 @@
+"""Training-step throughput benchmark (full fwd+bwd+Adam, all losses).
+
+Complements bench.py (inference north star) with the end-to-end training
+number recorded in BASELINE.md.
+
+Usage: python scripts/bench_train.py [B] [iters] [dtype]
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from neural_marionette_tpu.config import MarionetteConfig, adjust_config
+    from neural_marionette_tpu.models import NeuralMarionette, SkeletonArrays
+    from neural_marionette_tpu.ops import voxelize_jnp
+    from neural_marionette_tpu.train import (create_train_state,
+                                             make_train_step, loss_weights)
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    dtype_name = sys.argv[3] if len(sys.argv) > 3 else "float32"
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+
+    cfg = adjust_config(MarionetteConfig(dataset="aist")).replace(remat=1)
+    model = NeuralMarionette(cfg, dtype=dtype)
+    g = np.random.default_rng(0)
+    pts = jnp.asarray(g.uniform(-0.8, 0.8, size=(B, cfg.Ttot, 2048, 3)),
+                      dtype=jnp.float32)
+    batch = voxelize_jnp(pts, cfg.grid_size)
+    sk = SkeletonArrays.chain(cfg.nkeypoints)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "sample": jax.random.PRNGKey(1)},
+                        batch, detector_active=True, learner_active=True,
+                        skeleton=sk)
+    state = create_train_state(cfg, params, jax.random.PRNGKey(2))
+    step = make_train_step(model, cfg, loss_weights(cfg), True, True, True,
+                           mesh=None, donate=False)
+
+    state, metrics = step(state, batch, sk)
+    jax.block_until_ready(metrics["total_loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch, sk)
+    jax.block_until_ready(metrics["total_loss"])
+    dt = (time.perf_counter() - t0) / iters
+    print(f"train step B={B} {dtype_name} (all losses, detector+learner): "
+          f"{dt * 1000:.1f} ms/step -> {B / dt:.2f} seqs/sec")
+
+
+if __name__ == "__main__":
+    main()

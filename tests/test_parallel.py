@@ -60,9 +60,12 @@ def test_sharded_step_matches_single_device():
 
     assert results["single"][1] == pytest.approx(results["mesh8"][1],
                                                  rel=2e-4)
+    # Adam normalizes away gradient magnitude, so cross-mesh reduction-order
+    # noise shows up at ~lr scale in a handful of params; 2e-4 (= 0.2 * lr)
+    # still catches any semantic divergence
     for a, b in zip(jax.tree.leaves(results["single"][0]),
                     jax.tree.leaves(results["mesh8"][0])):
-        np.testing.assert_allclose(a, b, atol=5e-5)
+        np.testing.assert_allclose(a, b, atol=2e-4)
 
 
 def test_same_seed_determinism():

@@ -83,12 +83,12 @@ def test_same_seed_determinism():
                         skeleton=sk)
     weights = {"recon_loss": 100.0, "kypt_recon_loss": 1.0}
 
+    step = make_train_step(model, cfg, weights, True, True, True,
+                           mesh=mesh, donate=False)
     losses = []
     for _ in range(2):
         state = create_train_state(cfg, replicate(mesh, params),
                                    jax.random.PRNGKey(3))
-        step = make_train_step(model, cfg, weights, True, True, True,
-                               mesh=mesh, donate=False)
         state, metrics = step(state, shard_batch(mesh, batch), sk)
         losses.append(float(metrics["total_loss"]))
     assert losses[0] == losses[1]

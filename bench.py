@@ -52,8 +52,16 @@ def main():
         out = model.apply(params, batch, sk,
                           method=NeuralMarionette.encode_only,
                           rngs={"sample": jax.random.PRNGKey(2)})
-        # pull only small outputs back (keypoints + rollout recon)
-        return out["keypoints"], out["kypt_recon"]
+        # return the loss scalars and a recon checksum alongside the
+        # keypoints so the voxel decoder + all losses actually execute
+        # (the reference forward computes them; without live uses XLA
+        # dead-code-eliminates them and the comparison is dishonest)
+        losses = jnp.stack([out[k] for k in
+                            ("recon_loss", "sparsity_loss",
+                             "separation_loss", "vol_fit_reg",
+                             "kypt_recon_loss", "kl_kypt")])
+        return out["keypoints"], out["kypt_recon"], losses, \
+            jnp.sum(out["recon"])
 
     # warmup / compile
     jax.block_until_ready(encode_rollout(params, batch))

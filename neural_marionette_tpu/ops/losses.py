@@ -92,18 +92,19 @@ def volume_fitting_loss(seq: jnp.ndarray, keypoints: jnp.ndarray,
         v2 = jnp.sum(V * V, axis=-1)                 # (G^3,)
         occ_flat = occ.reshape(B, T, -1)             # (B, T, G^3)
 
-        def frame(args):
-            kp_bt, occ_bt = args                     # (K, 3), (G^3,)
-            dots = jnp.dot(V, kp_bt.T,
-                           precision=jax.lax.Precision.HIGHEST)  # (G^3, K)
-            c2 = jnp.sum(kp_bt * kp_bt, axis=-1)     # (K,)
-            dmin = v2 + jnp.min(c2[None, :] - 2.0 * dots, axis=-1)
-            dmin = jnp.maximum(dmin, 0.0)
-            return jnp.sum(dmin * occ_bt)
+        def timestep(args):
+            kp_t, occ_t = args                       # (B, K, 3), (B, G^3)
+            dots = jnp.dot(V, kp_t.reshape(B * K, 3).T,
+                           precision=jax.lax.Precision.HIGHEST)
+            dots = dots.reshape(-1, B, K)            # (G^3, B, K)
+            c2 = jnp.sum(kp_t * kp_t, axis=-1)       # (B, K)
+            dmin = v2[:, None] + jnp.min(c2[None] - 2.0 * dots, axis=-1)
+            dmin = jnp.maximum(dmin, 0.0)            # (G^3, B)
+            return jnp.sum(dmin * occ_t.T, axis=0)   # (B,)
 
-        kp_flat = kp.reshape(B * T, K, 3)
-        num = jax.lax.map(frame, (kp_flat, occ_flat.reshape(B * T, -1)))
-        num = num.reshape(B, T)
+        num = jax.lax.map(
+            timestep, (jnp.moveaxis(kp, 1, 0), jnp.moveaxis(occ_flat, 1, 0)))
+        num = jnp.moveaxis(num, 0, 1)                # (B, T)
         den = jnp.sum(occ_flat, axis=-1)
         return num / jnp.maximum(den, 1.0)
 

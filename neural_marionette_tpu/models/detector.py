@@ -201,11 +201,9 @@ class VoxelDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        def upsample2(v):
-            new = (v.shape[0],) + tuple(2 * s for s in v.shape[1:-1]) \
-                + (v.shape[-1],)
-            # jax.image 'linear' == trilinear with align_corners=False
-            return jax.image.resize(v, new, method="linear")
+        # half-pixel trilinear x2 (== torch Upsample align_corners=False),
+        # as MXU contractions — jax.image.resize gathers are ~8x slower
+        from ..ops.upsample import upsample2_trilinear as upsample2
 
         def conv_gn_lrelu(v, C):
             v = nn.Conv(C, (3, 3, 3), padding="SAME",

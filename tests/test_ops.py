@@ -292,3 +292,13 @@ def test_gaussian_kl_matches_torch():
         torch.distributions.Normal(torch.from_numpy(mp), torch.from_numpy(sp)),
     ).numpy()
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_upsample2_trilinear_matches_resize():
+    from neural_marionette_tpu.ops.upsample import upsample2_trilinear
+    g = np.random.default_rng(30)
+    x = jnp.asarray(g.normal(size=(2, 5, 6, 7, 3)), dtype=jnp.float32)
+    got = np.asarray(upsample2_trilinear(x))
+    want = np.asarray(jax.image.resize(
+        x, (2, 10, 12, 14, 3), method="linear"))
+    np.testing.assert_allclose(got, want, atol=1e-5)

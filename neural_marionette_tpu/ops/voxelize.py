@@ -38,11 +38,31 @@ def voxelize_np(points: np.ndarray, grid_size: int) -> np.ndarray:
     return grid
 
 
-def voxelize_jnp(points: jnp.ndarray, grid_size: int) -> jnp.ndarray:
+def voxelize_jnp(points: jnp.ndarray, grid_size: int,
+                 strict: bool = False) -> jnp.ndarray:
     """Device scatter voxelizer.  ``(..., N, 3)`` -> ``(..., G, G, G, 1)``.
 
-    Out-of-range points are dropped (scatter ``mode='drop'``), never wrapped.
+    Out-of-range points are dropped (scatter ``mode='drop'``), never
+    wrapped.  ``strict=True`` wraps the op in a ``checkify`` bounds check
+    that reports stray points instead of silently dropping them (the
+    sanitizer asked for in SURVEY.md §5 — the reference would wrap
+    negative indices or crash).
     """
+    if strict:
+        from jax.experimental import checkify
+
+        def _checked(p):
+            bmin, step = _grid_params(grid_size)
+            idx = jnp.floor((p[..., :3] - bmin) / step).astype(jnp.int32)
+            checkify.check(
+                jnp.all((idx >= 0) & (idx < grid_size)),
+                f"voxelize: point index out of [0, {grid_size}) grid bounds")
+            return voxelize_jnp(p, grid_size, strict=False)
+
+        err, out = checkify.checkify(_checked)(points)
+        err.throw()
+        return out
+
     def _single(p):
         bmin, step = _grid_params(grid_size)
         idx = jnp.floor((p[:, :3] - bmin) / step).astype(jnp.int32)

@@ -302,3 +302,13 @@ def test_upsample2_trilinear_matches_resize():
     want = np.asarray(jax.image.resize(
         x, (2, 10, 12, 14, 3), method="linear"))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_voxelize_strict_checkify():
+    pts_ok = jnp.asarray(rng(40).uniform(-0.9, 0.9, size=(50, 3)),
+                         dtype=jnp.float32)
+    out = ops.voxelize_jnp(pts_ok, 16, strict=True)
+    assert out.shape == (16, 16, 16, 1)
+    pts_bad = jnp.asarray([[5.0, 0.0, 0.0]], dtype=jnp.float32)
+    with pytest.raises(Exception, match="out of"):
+        ops.voxelize_jnp(pts_bad, 16, strict=True)

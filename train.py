@@ -162,7 +162,8 @@ def main():
         # skeleton: extract once when the learner turns on
         if lrn_act and skeleton is None:
             aff = model.apply(state.params,
-                              method=lambda m: m.kypt_detector.get_affinity())
+                              method=lambda m: m.kypt_detector.get_affinity(),
+                              rngs={"gumbel": jax.random.PRNGKey(cfg.seed)})
             skeleton = extract_skeleton(np.asarray(aff))
             print(f"{COLORS.WARNING}skeleton extracted: parents="
                   f"{skeleton.parents.tolist()}{COLORS.ENDC}")
@@ -174,7 +175,7 @@ def main():
             step_cache[key] = dict(
                 train=make_train_step(model, cfg, sched.active_weights(),
                                       det_act, lrn_act, aff_act, mesh=mesh,
-                                      donate=False),
+                                      donate=True),
                 eval=make_eval_step(model, cfg, sched.active_weights(),
                                     det_act, lrn_act, aff_act, mesh=mesh),
                 gen=(make_generate_step(model, cfg, aff_act, mesh=mesh)

@@ -9,21 +9,24 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax.numpy as jnp
 
 
 @functools.lru_cache(maxsize=32)
-def _coord_maps_cached(spatial: tuple[int, ...], dtype_name: str):
-    grids = [jnp.linspace(-1.0, 1.0, n, dtype=jnp.dtype(dtype_name))
-             for n in spatial]
-    mesh = jnp.meshgrid(*grids, indexing="ij")  # D arrays of shape spatial
-    return jnp.stack(mesh, axis=-1)  # (*spatial, D)
+def _coord_maps_np(spatial: tuple[int, ...]) -> np.ndarray:
+    """Cached as NumPy, never jnp: an lru_cache of device values would
+    capture tracers when first hit inside jit/remat tracing."""
+    grids = [np.linspace(-1.0, 1.0, n, dtype=np.float32) for n in spatial]
+    mesh = np.meshgrid(*grids, indexing="ij")  # D arrays of shape spatial
+    return np.stack(mesh, axis=-1)  # (*spatial, D)
 
 
 def coord_maps(spatial: tuple[int, ...], dtype=jnp.float32) -> jnp.ndarray:
     """(*spatial, D) meshgrid of per-axis linspace(-1, 1) coordinates."""
-    return _coord_maps_cached(tuple(int(s) for s in spatial),
-                              jnp.dtype(dtype).name)
+    maps = _coord_maps_np(tuple(int(s) for s in spatial))
+    return jnp.asarray(maps, dtype=dtype)
 
 
 def add_coord_channels(x: jnp.ndarray) -> jnp.ndarray:

@@ -20,8 +20,12 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=16)
-def _interp_matrix(g_in: int, dtype_name: str) -> jnp.ndarray:
-    """(2*g_in, g_in) half-pixel 2x linear interpolation matrix."""
+def _interp_matrix_np(g_in: int) -> np.ndarray:
+    """(2*g_in, g_in) half-pixel 2x linear interpolation matrix.
+
+    Cached as NumPy (never jnp): an lru_cache of device arrays would
+    capture tracers when first hit inside jit/remat tracing.
+    """
     W = np.zeros((2 * g_in, g_in), dtype=np.float32)
     for i in range(g_in):
         lo = max(i - 1, 0)
@@ -30,7 +34,11 @@ def _interp_matrix(g_in: int, dtype_name: str) -> jnp.ndarray:
         W[2 * i, i] += 0.75
         W[2 * i + 1, i] += 0.75
         W[2 * i + 1, hi] += 0.25
-    return jnp.asarray(W, dtype=jnp.dtype(dtype_name))
+    return W
+
+
+def _interp_matrix(g_in: int, dtype_name: str) -> jnp.ndarray:
+    return jnp.asarray(_interp_matrix_np(g_in), dtype=jnp.dtype(dtype_name))
 
 
 def upsample2_trilinear(x: jnp.ndarray) -> jnp.ndarray:

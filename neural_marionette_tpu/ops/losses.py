@@ -109,12 +109,17 @@ def volume_fitting_loss(seq: jnp.ndarray, keypoints: jnp.ndarray,
         return num / jnp.maximum(den, 1.0)
 
     if vol_fit_type == "gaussian":
+        # Intended semantics: 3-D intensity-scaled blobs, max over K,
+        # penalize uncovered occupancy.  The reference's gaussian branch is
+        # broken upstream (non-default path): it slices keypoints to 3
+        # columns (kypt_detector_utils.py:157) then feeds them to the
+        # (D+1)-column extractor, yielding 2-D blobs scaled by the
+        # z-coordinate and a (B, B, ...) broadcast at :164.  We implement
+        # what the code plainly means to do (documented deviation).
         from .keypoints import render_gaussian_maps
         G = spatial[0]
         sig = jnp.asarray(sigmas, dtype=seq.dtype) * 4.0
-        kp = jnp.concatenate(
-            [keypoints[..., :3], jnp.ones_like(keypoints[..., :1])], axis=-1)
-        gmap = render_gaussian_maps(kp, sig, G)  # (B, T, G, G, G, K)
+        gmap = render_gaussian_maps(keypoints, sig, G)  # (B,T,G,G,G,K)
         mask = jnp.max(gmap, axis=-1)  # (B, T, G, G, G)
         num = jnp.sum((1.0 - mask) * occ, axis=(2, 3, 4))
         den = jnp.sum(occ, axis=(2, 3, 4))

@@ -238,6 +238,54 @@ def test_dynamics_decoder_parity(ref_modules, detector_pair):
     np.testing.assert_allclose(np.asarray(R), R_ref.numpy(), atol=1e-4)
 
 
+@pytest.mark.parametrize("variant", ["ci2_gauss_max_aff0",
+                                     "ci0_none_sum_aff1"])
+def test_detector_variant_parity(ref_modules, vox_input, variant):
+    """Alternate detector configs: recurrent const_intensity modes,
+    gaussian/none vol-fit, max/sum gaussian pooling, affinity vers 0/1."""
+    RefDetector, _, _ = ref_modules
+    if variant == "ci2_gauss_max_aff0":
+        cfg = small_cfg().replace(const_intensity=2, vol_fit_type="gaussian",
+                                  gaussian_cat_type="max", affinity_ver=0,
+                                  graph_loss_ver=0)
+    else:
+        cfg = small_cfg().replace(const_intensity=0, vol_fit_type="none",
+                                  gaussian_cat_type="sum", affinity_ver=1,
+                                  graph_loss_ver=2)
+    torch.manual_seed(3)
+    ref = RefDetector(_ref_opt(cfg))
+    ref.eval()
+    ref.anneal(1)
+    ref.affinity_start = True
+    with torch.no_grad():
+        ref.affinity_params.copy_(torch.randn_like(ref.affinity_params))
+    sd = {f"kypt_detector.{k}": v for k, v in ref.state_dict().items()}
+    params = {"params":
+              convert_reference_state_dict(sd)["params"]["kypt_detector"]}
+    det = KyptDetector(cfg)
+
+    vox = vox_input
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(vox[:, :, None]))
+    out = det.apply(params, jnp.asarray(vox[..., None]))
+    np.testing.assert_allclose(np.asarray(out["keypoints"]),
+                               ref_out["keypoints"].numpy(), atol=2e-3)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(out["recon"]), -1, 2),
+        ref_out["recon"].numpy(), atol=2e-3)
+    # vol_fit_reg excluded for the gaussian variant: the reference's
+    # gaussian branch is broken upstream (2-D blobs from a 3-column slice +
+    # a (B, B, ...) broadcast, kypt_detector_utils.py:157-164); we
+    # implement the intended semantics (see ops/losses.py).
+    names = ["recon_loss", "sparsity_loss", "local_const_loss",
+             "time_const_loss"]
+    if variant != "ci2_gauss_max_aff0":
+        names.append("vol_fit_reg")
+    for name in names:
+        assert float(out[name]) == pytest.approx(float(ref_out[name]),
+                                                 abs=2e-3), name
+
+
 def test_gru_parity(ref_modules):
     _, RefDyna, _ = ref_modules
     cfg = small_cfg()

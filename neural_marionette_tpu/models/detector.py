@@ -12,7 +12,7 @@ Layouts are channels-last (``(B, T, X, Y, Z, C)``).
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,13 +9,12 @@ hand-written.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding
 
 from ..config import MarionetteConfig
 from ..models.marionette import NeuralMarionette

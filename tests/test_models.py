@@ -234,3 +234,17 @@ def test_marionette_jit_and_grad(voxseq):
     nonzero = [np.abs(np.asarray(v)).max() for p, v in flat
                if "kypt_detector" in jax.tree_util.keystr(p)]
     assert max(nonzero) > 0
+
+
+def test_learned_sigma(voxseq):
+    """fixed_sigma=0: per-keypoint learned sigmas (sigmoid * 2*base)."""
+    cfg = tiny_cfg(fixed_sigma=0)
+    det = KyptDetector(cfg)
+    params = det.init(jax.random.PRNGKey(0), voxseq)
+    assert "sigmas" in params["params"]["vox_to_kypt"]
+    out = det.apply(params, voxseq)
+    assert out["keypoints"].shape == (2, 4, cfg.nkeypoints, 4)
+    sig = det.apply(params, method=lambda m: m.vox_to_kypt.sigmas())
+    s = np.asarray(sig)
+    assert s.shape == (cfg.nkeypoints,)
+    assert np.all(s > 0) and np.all(s < 2 * cfg.gaussian_sigma)

@@ -30,7 +30,12 @@ def _stack(items):
 
 
 class DataLoader:
-    """Minimal epoch-based batch loader over a PointSequenceDataset."""
+    """Minimal epoch-based batch loader over a PointSequenceDataset.
+
+    ``drop_last`` defaults True (deviation: torch's loader keeps the
+    partial final batch) — jit requires static batch shapes, and a
+    one-off partial batch would trigger a full recompile per epoch.
+    """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  num_workers: int = 4, drop_last: bool = True,

@@ -96,7 +96,7 @@ class Marionette:
                               sample_num=sample_num, seed=seed)
 
     def interpolate(self, vox_clip: np.ndarray, anchor_rate: int = 10,
-                    sample_num: int = 256, seed: int = 2) -> dict:
+                    sample_num: int = 10000, seed: int = 2) -> dict:
         from .apps.interpolation import run_interpolation
         return run_interpolation(self.ctx, vox_clip,
                                  anchor_rate=anchor_rate,

@@ -18,10 +18,12 @@ from .common import DemoContext, detect_and_extract_skeleton
 
 
 def run_interpolation(ctx: DemoContext, vox_clip: np.ndarray,
-                      anchor_rate: int = 10, sample_num: int = 256,
+                      anchor_rate: int = 10, sample_num: int = 10000,
                       seed: int = 2, threshold: float = 0.5):
-    """vox_clip: (T, G, G, G, 1).  Reference uses sample_num=10000 on GPU;
-    the default here is TPU/CPU-friendly and configurable."""
+    """vox_clip: (T, G, G, G, 1).  ``sample_num`` defaults to the
+    reference's 10000 prior trajectories per segment
+    (vis_interpolation.py:54); the scan-vectorised interpolate kernel makes
+    that cheap on chip."""
     model, params = ctx.model, ctx.params
     det, skeleton = detect_and_extract_skeleton(ctx, vox_clip)
     keypoints = det["keypoints"]

@@ -59,6 +59,9 @@ class MarionetteConfig:
     surface_sampled: int = 1
     debug: int = 0
     is_eval: int = 0
+    # opt-in voxel-chamfer eval metric (the reference implements it in
+    # eval_utils.py:29-55 but never wires it into the loop, train.py:332)
+    eval_voxel_chamfer: int = 0
 
     # architecture (reference train.py:60-65)
     nkeypoints: int = 22
@@ -146,6 +149,8 @@ class MarionetteConfig:
     remat: int = 0  # rematerialize detector conv stacks (memory for FLOPs)
     num_workers: int = 4   # loader threads
     n_points: int = 4096   # fixed per-frame point count shipped to device
+    platform: str = ""     # force a JAX platform ("cpu") before backend init
+    apply_adjust_config: int = 1  # 0 => keep CLI values verbatim (tests)
 
     # ----------------------------------------------------------------- utils
     def replace(self, **kw) -> "MarionetteConfig":

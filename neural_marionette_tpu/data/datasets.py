@@ -41,8 +41,10 @@ class PointSequenceDataset:
 
     def __init__(self, train: bool = True,
                  options: Optional[MarionetteConfig] = None,
-                 n_points: int = 4096, output: str = "points"):
+                 n_points: Optional[int] = None, output: str = "points"):
         cfg = options or MarionetteConfig()
+        if n_points is None:
+            n_points = cfg.n_points
         #: "points" ships (T, N, 3) windows for on-device voxelization (the
         #: TPU-native default); "voxels" voxelizes on the host (via the
         #: native C++ lib when built) for reference-compatible pipelines.
@@ -76,6 +78,11 @@ class PointSequenceDataset:
     def _load_joints(self, rel: str) -> Optional[np.ndarray]:
         return None
 
+    def _load_align(self, rel: str) -> Optional[np.ndarray]:
+        """Per-source-frame (T_seq, 3, 3) root-alignment rotations, or
+        None (AIST ``align_root`` only)."""
+        return None
+
     # -------- common machinery
     def log_epoch(self, epoch_id: int) -> None:
         self.epoch_id = epoch_id
@@ -90,7 +97,8 @@ class PointSequenceDataset:
         out = window_from_sequence(
             x, self.T, self.sample_rate, self.random_crop, self.epoch_id,
             self._rng, joints=joints, scale=self.scale,
-            short_pad_first=self.short_pad_first)
+            short_pad_first=self.short_pad_first,
+            align_rots=self._load_align(rel))
         if joints is not None:
             pts, joints = out
         else:
@@ -134,11 +142,9 @@ class AIST(PointSequenceDataset):
     with GT joints when is_eval (dataset.py:94-186).
 
     ``align_root=True`` cancels global dance orientation with the stored
-    yaw root-alignment matrices (reference dataset.py:161-164).  Simplified
-    here: the whole sequence is rotated by its first frame's alignment
-    before windowing (the reference rotates the normalized window by the
-    window-start alignment; the option is unused by any reference training
-    or demo path).
+    yaw root-alignment matrices: the window-start frame's matrix is applied
+    to the whole normalized window (reference dataset.py:161-164 intent;
+    see pipeline.window_from_sequence for why it's "intent").
     """
 
     def __init__(self, train=True, options=None, align_root=False, **kw):
@@ -155,11 +161,12 @@ class AIST(PointSequenceDataset):
         return sorted(os.listdir(self.root))
 
     def _load_points(self, rel):
-        pts = np.load(os.path.join(self.root, rel))
-        if self.align_root:
-            r = np.load(os.path.join(self.align_root_dir, rel))  # (T, 3, 3)
-            pts = np.einsum("ij,tnj->tni", r[0], pts[..., :3])
-        return pts
+        return np.load(os.path.join(self.root, rel))
+
+    def _load_align(self, rel):
+        if not self.align_root:
+            return None
+        return np.load(os.path.join(self.align_root_dir, rel))  # (T, 3, 3)
 
     def _load_joints(self, rel):
         return np.load(os.path.join(self.joint_root, rel))

@@ -92,7 +92,8 @@ def window_from_sequence(x: np.ndarray, T: int, sample_rate: int,
                          rng: random.Random,
                          joints: Optional[np.ndarray] = None,
                          scale: float = 1.0,
-                         short_pad_first: bool = False):
+                         short_pad_first: bool = False,
+                         align_rots: Optional[np.ndarray] = None):
     """Full window extraction: start selection, padding, crop, normalize.
 
     ``short_pad_first`` reproduces the subtle ordering difference between
@@ -100,6 +101,14 @@ def window_from_sequence(x: np.ndarray, T: int, sample_rate: int,
     sequences (dataset.py:51-68) while animals/humanoids/panda pad first
     (dataset.py:221-238); with padding the start resets to 0 either way, so
     one flag covers both.
+
+    ``align_rots``: per-source-frame (T_seq, 3, 3) root-alignment rotation
+    matrices (AIST ``align_root``).  The window-START frame's matrix is
+    applied to every frame of the NORMALIZED window — the reference's
+    intent at dataset.py:161-164 (its numpy code there crashes as written:
+    ``.expand`` on an ndarray and a mis-axed ``transpose``; this is the
+    repaired semantics).  Joints are NOT rotated — the reference doesn't
+    rotate them either.
     """
     if x.shape[0] < T * sample_rate:
         start = 0
@@ -112,5 +121,12 @@ def window_from_sequence(x: np.ndarray, T: int, sample_rate: int,
     x = crop_sequence(x, start, T, sample_rate)
     if joints is not None:
         joints = crop_sequence(joints, start, T, sample_rate)
-        return episodic_normalization(x, scale=scale, joints=joints)
-    return episodic_normalization(x, scale=scale)
+        x, joints = episodic_normalization(x, scale=scale, joints=joints)
+    else:
+        x = episodic_normalization(x, scale=scale)
+    if align_rots is not None:
+        r = align_rots[min(start, len(align_rots) - 1)]  # (3, 3)
+        x = np.einsum("ij,tnj->tni", r, x)
+    if joints is not None:
+        return x, joints
+    return x

@@ -209,7 +209,7 @@ class HSVRNNBVH(nn.Module):
         return cond_keypoints, gen_keypoints
 
     def interpolate(self, keypoints, skeleton: SkeletonArrays,
-                    anchor_rate: int = 10, sample_num: int = 256):
+                    anchor_rate: int = 10, sample_num: int = 10000):
         """Anchor-constrained latent in-betweening (the vis_interpolation
         demo, reference vis_interpolation.py:91-136): run ``sample_num``
         parallel prior rollouts between anchor frames; at each anchor,
@@ -217,8 +217,100 @@ class HSVRNNBVH(nn.Module):
         retroactively keep the in-between trajectory whose extra prior
         sample lands closest to that anchor.
 
+        Scanned/jittable: anchor positions are static in ``t``, so the
+        rollout is one ``lax.scan`` with a per-step anchor flag selecting
+        the collapse branch, and the retroactive segment selection becomes
+        a reverse scan propagating each anchor's trajectory index back over
+        its segment.  The default ``sample_num`` matches the reference's
+        10000 (vis_interpolation.py:54) — the sample axis is fully
+        vectorised, so large S is cheap on the MXU.
+        :meth:`_interpolate_eager` is the step-by-step oracle this is
+        parity-tested against (tests/test_models.py).
+
         Returns selected keypoints (1, T, K, 4) with intensities frozen to
         frame 0 (reference :136).
+        """
+        B, T, K, _ = keypoints.shape
+        assert B == 1
+        S = sample_num
+        offset = self.get_offset(keypoints, skeleton.parents)
+        offset_rep = jnp.tile(offset, (S, 1, 1))
+        h0 = jnp.broadcast_to(self.init_state, (S, self._H))
+        rng = self.make_rng("sample")
+        keys = jnp.stack([jax.random.fold_in(rng, t) for t in range(T)])
+        is_anchor = jnp.asarray(
+            [(t % anchor_rate == 0) or (t == T - 1) for t in range(T)])
+        kp_det_seq = keypoints[0].reshape(T, K * 4)
+
+        def step(h, inp):
+            key, anchor, kp_det = inp
+            kp_det_rep = jnp.broadcast_to(kp_det[None], (S, K * 4))
+
+            def anchor_branch(h):
+                k1, k2 = jax.random.split(key)
+                post_mean, post_std = self._dist_params(
+                    jnp.concatenate([h, kp_det_rep], axis=-1),
+                    self.post_l1, self.post_l2)
+                prior_mean, prior_std = self._dist_params(
+                    h, self.prior_l1, self.prior_l2)
+                z_post = post_mean + post_std * jax.random.normal(
+                    k1, post_mean.shape, post_mean.dtype)
+                z_choose = prior_mean + prior_std * jax.random.normal(
+                    k2, prior_mean.shape, prior_mean.dtype)
+                kp_post, _ = self.extract_kypt_from_latent_and_state(
+                    jnp.concatenate([h, z_post], axis=-1), offset_rep,
+                    skeleton)
+                kp_choose, _ = self.extract_kypt_from_latent_and_state(
+                    jnp.concatenate([h, z_choose], axis=-1), offset_rep,
+                    skeleton)
+                best = jnp.argmin(jnp.sum(
+                    (kp_post - kp_det_rep) ** 2, axis=-1))
+                kp_best = jnp.broadcast_to(kp_post[best][None], (S, K * 4))
+                z = jnp.broadcast_to(z_post[best][None], z_post.shape)
+                h_c = jnp.broadcast_to(h[best][None], h.shape)
+                choose = jnp.argmin(jnp.sum(
+                    (kp_choose - kp_best) ** 2, axis=-1)).astype(jnp.int32)
+                return h_c, kp_best, z, kp_det_rep, choose
+
+            def between_branch(h):
+                prior_mean, prior_std = self._dist_params(
+                    h, self.prior_l1, self.prior_l2)
+                z = prior_mean + prior_std * jax.random.normal(
+                    key, prior_mean.shape, prior_mean.dtype)
+                kp_flat, _ = self.extract_kypt_from_latent_and_state(
+                    jnp.concatenate([h, z], axis=-1), offset_rep, skeleton)
+                return h, kp_flat, z, kp_flat, jnp.zeros((), jnp.int32)
+
+            h_sel, kp_gru, z, kp_store, choose = jax.lax.cond(
+                anchor, anchor_branch, between_branch, h)
+            h_new = self._gru(jnp.concatenate([kp_gru, z], axis=-1), h_sel)
+            return h_new, (kp_store, choose)
+
+        _, (kp_all, chooses) = jax.lax.scan(
+            step, h0, (keys, is_anchor, kp_det_seq))
+
+        # selection index for step t = the next anchor's choose (reverse scan)
+        def back(carry, inp):
+            anchor, choose = inp
+            sel = jnp.where(anchor, choose, carry)
+            return sel, sel
+
+        _, sel_idx = jax.lax.scan(
+            back, jnp.zeros((), jnp.int32), (is_anchor, chooses),
+            reverse=True)
+
+        selected = jnp.take_along_axis(
+            kp_all, sel_idx[:, None, None], axis=1)[:, 0]  # (T, K*4)
+        out = selected.reshape(1, T, K, 4)
+        # freeze intensities to frame 0 (vis_interpolation.py:136)
+        out = out.at[0, :, :, -1].set(out[0, 0, :, -1])
+        return out
+
+    def _interpolate_eager(self, keypoints, skeleton: SkeletonArrays,
+                           anchor_rate: int = 10, sample_num: int = 256):
+        """Step-by-step (unjittable) transcription of the reference's
+        interpolation loop — kept as the oracle the scanned
+        :meth:`interpolate` is parity-tested against.
         """
         B, T, K, _ = keypoints.shape
         assert B == 1

@@ -1,0 +1,262 @@
+"""On-device skeleton extraction (jit-compatible).
+
+Device re-design of :mod:`neural_marionette_tpu.skeleton` (itself a
+re-implementation of reference ``utils/dyna_utils.py:6-171``): all-pairs
+shortest paths become a K-step min-plus Floyd-Warshall over the K<=~32
+node graph (SURVEY §7.1's declared end state), and every tie-break rule —
+component bridging, the float32 1e-5 edge perturbations, the
+rank/influence parent rules, the co-parent rule — is expressed with
+static-shape masked ops so the whole extraction jits.
+
+Exact-arithmetic design.  The host computes shortest paths in float64
+over float32 edge weights ``w = 1 + r`` where every perturbation residual
+``r`` is a small multiple of 2^-24 (the ulp at 1.0).  Naive float32
+Floyd-Warshall rounds path sums at ~1e-7 and SPLITS ties the host's
+float64 keeps exact (observed: chain-graph root flips).  Instead each
+distance is carried as an exact pair ``(H, R)``:
+
+* ``H`` — integer hop count (edge weights are all 1 + residual), exact in
+  float32 up to 2^24;
+* ``R`` — sum of residuals.  All residuals are multiples of 2^-24 and the
+  totals stay below 2^-5, so their float32 sums are EXACT (every partial
+  sum is a representable multiple of 2^-24).
+
+Lexicographic (H, R) comparison therefore reproduces the host's float64
+ordering of ``H + R`` bit-for-bit — including exact ties, which fall back
+to the same stable index order.  Differentially tested against the host
+oracle in tests/test_skeleton.py (structured + randomized + tie-heavy
+affinities).
+
+Other replicated behaviors:
+
+* Perturbed edge weights accumulate ``w = ((1 + 1e-5) + 1e-5) + ...`` in
+  float32 exactly like the host's sequential ``+=``: the increment count
+  per edge is computed vectorised, then applied by repeated addition so
+  the float32 rounding sequence is identical.
+* The host parent loop mutates ``A_bin`` when a node falls back to the
+  root; the device version therefore scans nodes sequentially
+  (``lax.fori_loop`` over K) carrying ``A_bin`` — each step is vectorised
+  over neighbours.
+
+Skeleton extraction runs once per training run, so this is a
+correctness/capability feature (no host round-trip, usable inside jitted
+pipelines), not a throughput one.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+BIG_NUM = 1e4
+
+
+class DeviceSkeleton(NamedTuple):
+    A: jnp.ndarray                 # (K, K) float32 tree adjacency
+    priority_values: jnp.ndarray   # (K,) float32 root distances, ascending
+    priority_indices: jnp.ndarray  # (K,) int32 joints root-first
+    parents: jnp.ndarray           # (K,) int32
+
+
+# --------------------------------------------------------------- (H, R) ops
+def _lex_lt(h1, r1, h2, r2):
+    return (h1 < h2) | ((h1 == h2) & (r1 < r2))
+
+
+def _floyd_warshall_pair(adj_mask, weights):
+    """All-pairs shortest paths over exact (hops, residual) pairs.
+
+    ``weights`` are the float32 edge weights (1 + residual); unreachable
+    pairs stay at (BIG_NUM, 0).
+
+    Zero-weight edges are treated as ABSENT: the host builds a
+    ``csr_matrix`` from ``where(adj, weights, 0)``, and scipy drops
+    explicit zeros — so a tree edge added by the parent-fallback (absent
+    from the perturbed weight matrix) is unreachable for the final
+    priority computation there too.
+    """
+    K = adj_mask.shape[0]
+    edge = (adj_mask > 0) & (weights > 0)
+    eye = jnp.eye(K, dtype=bool)
+    H = jnp.where(edge, 1.0, BIG_NUM)
+    R = jnp.where(edge, weights.astype(jnp.float32) - 1.0, 0.0)
+    H = jnp.where(eye, 0.0, H)
+    R = jnp.where(eye, 0.0, R)
+
+    def body(k, carry):
+        H, R = carry
+        cH = H[:, k, None] + H[None, k, :]
+        cR = R[:, k, None] + R[None, k, :]
+        better = _lex_lt(cH, cR, H, R)
+        return jnp.where(better, cH, H), jnp.where(better, cR, R)
+
+    return jax.lax.fori_loop(0, K, body, (H, R))
+
+
+def _lex_argmin(h, r):
+    """First index of the lexicographic minimum of (h, r) vectors."""
+    minh = jnp.min(h)
+    at = h == minh
+    minr = jnp.min(jnp.where(at, r, jnp.inf))
+    return jnp.argmax(at & (r == minr))
+
+
+def _perturbed_weights(A_bin, sum_H, influence):
+    """Count the host's 1e-5 edge increments, then replay them in float32.
+
+    Host (skeleton.py:92-102 / dyna_utils.py:69-82): for each pair
+    k < kdot with equal distance sums and each common neighbour n, bump
+    the (n, l) edge where l is the LESS-attached of {k, kdot} to n.
+    """
+    K = A_bin.shape[0]
+    eq = (sum_H[:, None] == sum_H[None, :])
+    upper = jnp.triu(jnp.ones((K, K), dtype=bool), 1)  # k < kdot
+    pair = eq & upper                                   # (k, kdot)
+    common = (A_bin[:, None, :] > 0) & (A_bin[None, :, :] > 0)  # (k,kdot,n)
+    m = (pair[:, :, None] & common).astype(jnp.int32)   # (k, kdot, n)
+    # l = kdot when influence[n, k] > influence[n, kdot] else k
+    infl_nk = influence.T  # (node, n): influence[n, node]
+    choose_kdot = infl_nk[:, None, :] > infl_nk[None, :, :]  # (k, kdot, n)
+    cnt_to_kdot = jnp.einsum(
+        "abn,abn->nb", m, choose_kdot.astype(jnp.int32))        # (n, kdot)
+    cnt_to_k = jnp.einsum(
+        "abn,abn->na", m, (~choose_kdot).astype(jnp.int32))     # (n, k)
+    cnt = cnt_to_kdot + cnt_to_k
+    cnt = cnt + cnt.T  # host adds both (n, l) and (l, n)
+
+    w = A_bin.astype(jnp.float32)
+    max_cnt = K * K  # static bound; real counts are tiny
+
+    def body(i, w):
+        return jnp.where(cnt > i, w + jnp.float32(1e-5), w)
+
+    return jax.lax.fori_loop(0, max_cnt, body, w)
+
+
+def _select_parent(k, A_bin, rank_H, rank_R, influence, root):
+    """One node's parent under the host's sequential tie-break rules
+    (skeleton.py:113-149 / dyna_utils.py:102-142), vectorised over
+    neighbours."""
+    K = A_bin.shape[0]
+    idx = jnp.arange(K)
+    neigh = A_bin[k] > 0
+    dH = rank_H - rank_H[k]
+    dR = rank_R - rank_R[k]
+    is_neg = _lex_lt(dH, dR, 0.0, 0.0)
+    is_zero = (dH == 0.0) & (dR == 0.0)
+
+    # negative branch: lexicographic argmax of (rank_dist, influence[k]),
+    # earliest index on full ties (sequential strict-improvement ==
+    # staged argmax)
+    neg = neigh & is_neg
+    maxH = jnp.max(jnp.where(neg, dH, -jnp.inf))
+    at_h = neg & (dH == maxH)
+    maxR = jnp.max(jnp.where(at_h, dR, -jnp.inf))
+    at_maxd = at_h & (dR == maxR)
+    neg_parent = jnp.argmax(jnp.where(at_maxd, influence[k], -jnp.inf))
+    any_neg = jnp.any(neg)
+
+    # co-parent branch: for same-rank neighbours n, the common neighbour
+    # nn with minimal rank (strictly below rank[n]; earliest nn on ties)
+    # adjudicates via influence; the LAST qualifying n wins (the host
+    # branch overwrites unconditionally).
+    same = neigh & is_zero & (idx != k)
+    lower = _lex_lt(rank_H[None, :], rank_R[None, :],
+                    rank_H[:, None], rank_R[:, None])  # rank[nn] < rank[n]
+    nn_valid = (A_bin > 0) & neigh[None, :] & lower     # (n, nn)
+    nnH = jnp.where(nn_valid, rank_H[None, :], jnp.inf)
+    minH = jnp.min(nnH, axis=1, keepdims=True)
+    at_h2 = nn_valid & (nnH == minH)
+    nnR = jnp.where(at_h2, rank_R[None, :], jnp.inf)
+    minR = jnp.min(nnR, axis=1, keepdims=True)
+    co_parent = jnp.argmax(at_h2 & (nnR == minR), axis=1)  # (n,) first idx
+    has_co = jnp.any(nn_valid, axis=1)
+    co_ok = has_co & (influence[co_parent, idx] > influence[co_parent, k])
+    qual = same & co_ok
+    any_co = jnp.any(qual)
+    co_parent_n = K - 1 - jnp.argmax(qual[::-1])         # last qualifying n
+
+    parent = jnp.where(any_co, co_parent_n,
+                       jnp.where(any_neg, neg_parent, root))
+    fallback = ~any_co & ~any_neg
+    # the host adds a (k, root) edge when falling back (mutates A_bin)
+    A_new = jnp.where(
+        fallback,
+        A_bin.at[k, root].set(1.0).at[root, k].set(1.0),
+        A_bin)
+    parent = jnp.where(k == root, k, parent)
+    A_new = jnp.where(k == root, A_bin, A_new)
+    return parent.astype(jnp.int32), A_new
+
+
+def extract_skeleton_device(affinity) -> DeviceSkeleton:
+    """Affinity ``(nneighbor, K, K[, 1])`` -> :class:`DeviceSkeleton`,
+    fully on device / inside jit."""
+    aff = jnp.asarray(affinity, dtype=jnp.float32)
+    if aff.ndim == 4:
+        aff = aff[..., 0]
+    N, K, _ = aff.shape
+    idx = jnp.arange(K)
+
+    influence = jnp.max(aff, axis=0)  # (K, K)
+
+    # top-N neighbours per node (stable argsort == ascending-index ties)
+    topk = jnp.argsort(-influence, axis=-1, stable=True)[:, :N]
+    A_bin = jnp.zeros((K, K), jnp.float32)
+    A_bin = A_bin.at[idx[:, None], topk].set(1.0)
+    A_bin = jnp.maximum(A_bin, A_bin.T)
+
+    H, _ = _floyd_warshall_pair(A_bin, A_bin)  # unweighted: hops only
+
+    # single bridge attempt if disconnected (skeleton.py:76-88)
+    disconnected = jnp.any(H >= BIG_NUM)
+    sum_H0 = jnp.sum(H, axis=-1)
+    root0 = jnp.argmin(sum_H0)
+    order = jnp.argsort(sum_H0, stable=True)
+    rank0 = jnp.zeros(K).at[order].set(jnp.arange(K, dtype=jnp.float32))
+    cand = H[root0] >= BIG_NUM
+    min_idx = jnp.argmin(jnp.where(cand, rank0, jnp.inf))
+    A_bridged = A_bin.at[root0, min_idx].set(1.0).at[min_idx, root0].set(1.0)
+    A_bin = jnp.where(disconnected, A_bridged, A_bin)
+    H2, _ = _floyd_warshall_pair(A_bin, A_bin)
+    H = jnp.where(disconnected, H2, H)
+
+    # 1e-5 perturbations + weighted shortest paths (exact pairs)
+    w = _perturbed_weights(A_bin, jnp.sum(H, axis=-1), influence)
+    dH, dR = _floyd_warshall_pair(A_bin, w)
+
+    root = _lex_argmin(jnp.sum(dH, axis=-1),
+                       jnp.sum(dR, axis=-1)).astype(jnp.int32)
+    rank_H, rank_R = dH[root], dR[root]
+
+    # sequential parent selection (A_bin mutates on root fallback)
+    def body(k, carry):
+        parents, A = carry
+        p, A = _select_parent(k, A, rank_H, rank_R, influence, root)
+        return parents.at[k].set(p), A
+
+    parents, A_bin = jax.lax.fori_loop(
+        0, K, body, (jnp.zeros(K, jnp.int32), A_bin))
+
+    # tree adjacency from parents
+    A = jnp.zeros((K, K), jnp.float32)
+    not_root = parents != idx
+    A = A.at[idx, parents].max(not_root.astype(jnp.float32))
+    A = jnp.maximum(A, A.T)
+
+    # priority on the tree with the perturbed weights; stable argsort of
+    # the exact pairs == argsort of the host's float64 values
+    tH, tR = _floyd_warshall_pair(A, w)
+    keys_H, keys_R = tH[root], tR[root]
+    order1 = jnp.argsort(keys_R, stable=True)
+    order2 = jnp.argsort(keys_H[order1], stable=True)  # stable 2-key sort
+    priority_indices = order1[order2]
+    priority_values = (keys_H + keys_R)[priority_indices]
+
+    return DeviceSkeleton(
+        A=A,
+        priority_values=priority_values.astype(jnp.float32),
+        priority_indices=priority_indices.astype(jnp.int32),
+        parents=parents,
+    )

@@ -248,3 +248,30 @@ def test_learned_sigma(voxseq):
     s = np.asarray(sig)
     assert s.shape == (cfg.nkeypoints,)
     assert np.all(s > 0) and np.all(s < 2 * cfg.gaussian_sigma)
+
+
+def test_interpolate_scan_matches_eager_oracle():
+    """The scanned/jittable interpolate must reproduce the step-by-step
+    eager transcription of the reference loop exactly (same rng stream,
+    same anchor-collapse and retroactive-selection semantics)."""
+    cfg = tiny_cfg()
+    K = cfg.nkeypoints
+    T = 8  # anchors at 0, 3, 6, 7 with anchor_rate=3
+    dyn = HSVRNNBVH(cfg)
+    kp = jnp.asarray(np.random.default_rng(7).uniform(
+        -0.5, 0.5, size=(1, T, K, 4)), dtype=jnp.float32)
+    sk = SkeletonArrays.chain(K)
+    params = dyn.init({"params": jax.random.PRNGKey(0),
+                       "sample": jax.random.PRNGKey(1)},
+                      kp, sk, method=HSVRNNBVH.encode)
+
+    kwargs = dict(anchor_rate=3, sample_num=16)
+    rngs = {"sample": jax.random.PRNGKey(11)}
+    eager = dyn.apply(params, kp, sk, method=HSVRNNBVH._interpolate_eager,
+                      rngs=rngs, **kwargs)
+    scanned = jax.jit(lambda p, k: dyn.apply(
+        p, k, sk, method=HSVRNNBVH.interpolate, rngs=rngs, **kwargs))(
+        params, kp)
+    assert scanned.shape == (1, T, K, 4)
+    np.testing.assert_allclose(np.asarray(scanned), np.asarray(eager),
+                               rtol=0, atol=1e-6)

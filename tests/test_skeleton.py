@@ -137,3 +137,62 @@ def test_networkx_shortest_path_oracle():
         for dst, d in lengths.items():
             want[src, dst] = d
     np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+# ---------------------------------------------------------------- on-device
+def _assert_matches_host(aff):
+    import jax
+    from neural_marionette_tpu.skeleton_device import extract_skeleton_device
+    host = extract_skeleton(np.asarray(aff))
+    dev = jax.jit(extract_skeleton_device)(aff)
+    np.testing.assert_array_equal(np.asarray(dev.parents), host.parents)
+    np.testing.assert_array_equal(np.asarray(dev.priority_indices),
+                                  host.priority_indices)
+    np.testing.assert_array_equal(np.asarray(dev.A), host.A)
+    np.testing.assert_allclose(np.asarray(dev.priority_values),
+                               host.priority_values, atol=1e-5)
+
+
+def test_device_skeleton_structured_cases():
+    """jnp Floyd-Warshall extraction (inside jit) vs the host oracle on the
+    structured cases: chain, star, disconnected-bridged."""
+    _assert_matches_host(_chain_affinity(8))
+    K = 6
+    star = np.zeros((1, K, K), dtype=np.float32)
+    for i in range(K):
+        for j in range(K):
+            star[0, i, j] = 1e-4 * (i * K + j)
+    for k in range(1, K):
+        star[0, k, 0] = 1.0
+        star[0, 0, k] = 0.5 + 0.01 * k
+    _assert_matches_host(star[..., None])
+    two = np.zeros((2, K, K), dtype=np.float32)
+    for grp in ([0, 1, 2], [3, 4, 5]):
+        for i in grp:
+            for j in grp:
+                if i != j:
+                    two[0, i, j] = 1.0
+                    two[1, i, j] = 0.5
+    _assert_matches_host(two[..., None])
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_device_skeleton_matches_host_random(seed):
+    """Randomized differential parity: the device extraction reproduces the
+    host (reference-parity-tested) trees exactly, including tie-breaks."""
+    g = np.random.default_rng(1000 + seed)
+    K = int(g.integers(4, 25))
+    n = int(g.integers(1, 4))
+    aff = g.uniform(size=(n, K, K, 1)).astype(np.float32)
+    _assert_matches_host(aff)
+
+
+def test_device_skeleton_tie_heavy():
+    """Quantized affinities force distance-sum ties so the 1e-5
+    perturbation + co-parent paths actually execute on device."""
+    for seed in range(5):
+        g = np.random.default_rng(50 + seed)
+        K = 12
+        aff = (g.integers(0, 3, size=(2, K, K, 1)) / 2.0).astype(np.float32)
+        aff += g.uniform(0, 1e-3, size=aff.shape).astype(np.float32)
+        _assert_matches_host(aff)

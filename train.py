@@ -30,10 +30,12 @@ def parse_args():
     from neural_marionette_tpu.config import MarionetteConfig
     parser = argparse.ArgumentParser(description=__doc__)
     for f in dataclasses.fields(MarionetteConfig):
-        if f.type == "bool":
-            parser.add_argument(f"--{f.name}", type=int, default=f.default)
+        ftype = type(f.default) if f.default is not None else str
+        if ftype is bool:  # bool('0') is True; parse as int then cast
+            parser.add_argument(f"--{f.name}",
+                                type=lambda s: bool(int(s)),
+                                default=f.default)
         else:
-            ftype = type(f.default) if f.default is not None else str
             parser.add_argument(f"--{f.name}", type=ftype, default=f.default)
     ns = parser.parse_args()
     return MarionetteConfig(**vars(ns))
@@ -63,7 +65,12 @@ def main():
         install_preemption_handler, preempted)
 
     cfg = parse_args()
-    cfg = adjust_config(cfg)
+    if cfg.platform:
+        # the axon TPU plugin ignores the JAX_PLATFORMS env var; forcing
+        # the platform must happen via jax.config before first backend use
+        jax.config.update("jax_platforms", cfg.platform)
+    if cfg.apply_adjust_config:
+        cfg = adjust_config(cfg)
     cfg = derive_training_id(cfg)
     np.random.seed(cfg.seed)
     if cfg.debug_nans:
@@ -75,9 +82,9 @@ def main():
     dataset_train = load_dataset(True, cfg)
     dataset_valid = load_dataset(False, cfg)
     loader_train = DataLoader(dataset_train, cfg.nbatch, shuffle=True,
-                              seed=cfg.seed)
+                              seed=cfg.seed, num_workers=cfg.num_workers)
     loader_valid = DataLoader(dataset_valid, cfg.nbatch, shuffle=False,
-                              seed=cfg.seed)
+                              seed=cfg.seed, num_workers=cfg.num_workers)
 
     # ----------------------------------------------------------------- model
     mesh = make_mesh(data=cfg.mesh_data, model=cfg.mesh_model)
@@ -143,6 +150,8 @@ def main():
     metrics_file = open(os.path.join(logger_path, "metrics.jsonl"), "a")
     train_log, valid_log = MetricLogger(), MetricLogger()
     eval_metrics = ["semantic"] if cfg.is_eval else []
+    if cfg.eval_voxel_chamfer:  # opt-in: the reference implements it but
+        eval_metrics.append("voxel_chamfer")  # never wires it (train.py:332)
 
     # ------------------------------------------------------------ epoch loop
     step_cache = {}
@@ -223,15 +232,22 @@ def main():
                     first_gen = steps["gen"](
                         state.params, points, sk_arrays,
                         jax.random.PRNGKey(cfg.seed + epoch_id))
-            if cfg.is_eval and gt_kypt is not None:
-                for name in eval_metrics:
-                    out = evaluate(name, eval_scores[name], dict(
+            for name in eval_metrics:
+                if name == "semantic":
+                    if gt_kypt is None:
+                        continue
+                    eval_params = dict(
                         keypoints=np.asarray(tensors["keypoints"]),
-                        gt_keypoints=np.asarray(gt_kypt)))
-                    eval_scores[name] = out["scores"]
-                    valid_log.add(name, out["scores_log"])
-                    display_it("eval", name, cfg, epoch_id, batch_id,
-                               out["scores_log"])
+                        gt_keypoints=np.asarray(gt_kypt))
+                else:  # voxel_chamfer: GT voxels vs reconstruction
+                    eval_params = dict(
+                        voxel=np.asarray(_to_voxels(points, cfg)),
+                        recon=np.asarray(tensors["recon"]))
+                out = evaluate(name, eval_scores[name], eval_params)
+                eval_scores[name] = out["scores"]
+                valid_log.add(name, out["scores_log"])
+                display_it("eval", name, cfg, epoch_id, batch_id,
+                           out["scores_log"])
 
         # --------------------------------------------------------- logging
         train_means = train_log.reset()
@@ -263,16 +279,22 @@ def main():
             return
 
     # final eval CSV dump (reference evaluate_final, eval_utils.py:12-26)
-    if cfg.is_eval:
-        from neural_marionette_tpu.eval import semantic_final
-        for name in eval_metrics:
-            if name == "semantic" and eval_scores[name] is not None:
-                score = semantic_final(eval_scores[name])
-                out = os.path.join(logger_path, "semantic_result.csv")
-                np.savetxt(out, eval_scores[name] /
-                           max(eval_scores[name][0].sum(), 1),
-                           delimiter=",")
-                print(f"final semantic score: {score:.4f} -> {out}")
+    from neural_marionette_tpu.eval import semantic_final
+    for name in eval_metrics:
+        if eval_scores[name] is None:
+            continue
+        if name == "semantic":
+            score = semantic_final(eval_scores[name])
+            out = os.path.join(logger_path, "semantic_result.csv")
+            np.savetxt(out, eval_scores[name] /
+                       max(eval_scores[name][0].sum(), 1),
+                       delimiter=",")
+            print(f"final semantic score: {score:.4f} -> {out}")
+        elif name == "voxel_chamfer":
+            vals = np.asarray(eval_scores[name], dtype=np.float64)
+            out = os.path.join(logger_path, "chamfer_result.csv")
+            np.savetxt(out, vals, delimiter=",")
+            print(f"final voxel chamfer (x1e4): {vals.mean():.4f} -> {out}")
     print(f"{COLORS.OKGREEN}training complete{COLORS.ENDC}")
 
 

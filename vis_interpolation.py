@@ -17,13 +17,19 @@ def main():
                                 "gHO_sBM_cAll_d20_mHO1_ch05.npy")
     parser.add_argument("--Ttot", type=int, default=21)
     parser.add_argument("--anchor_rate", type=int, default=10)
-    parser.add_argument("--sample_num", type=int, default=256,
+    parser.add_argument("--sample_num", type=int, default=10000,
                         help="parallel in-between rollouts (reference "
                              "uses 10000)")
     parser.add_argument("--seed", type=int, default=2)
     parser.add_argument("--out_dir", type=str,
                         default="output/demo/interpolation")
+    parser.add_argument("--platform", type=str, default="",
+                        help="force a JAX platform (e.g. cpu); the axon "
+                             "TPU plugin ignores the JAX_PLATFORMS env var")
     args = parser.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     from neural_marionette_tpu.apps.common import (load_pretrained,
                                                    load_clip, synthetic_clip)

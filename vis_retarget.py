@@ -27,7 +27,13 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out_dir", type=str,
                         default="output/demo/retarget")
+    parser.add_argument("--platform", type=str, default="",
+                        help="force a JAX platform (e.g. cpu); the axon "
+                             "TPU plugin ignores the JAX_PLATFORMS env var")
     args = parser.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     from neural_marionette_tpu.apps.common import (load_pretrained,
                                                    load_clip, synthetic_clip)

@@ -51,12 +51,14 @@ def run_generation(ctx: DemoContext, vox_clip: np.ndarray,
                 skeleton=skeleton, cond_keypoints=np.asarray(cond_kp[0]))
 
 
-def save_outputs(result: dict, out_dir: str, vox_cond=None) -> None:
+def save_outputs(result: dict, out_dir: str, vox_cond=None,
+                 Tcond: int = 5) -> None:
     os.makedirs(out_dir, exist_ok=True)
     np.save(os.path.join(out_dir, "gen_voxels.npy"), result["gen_voxels"])
     np.save(os.path.join(out_dir, "keypoints.npy"), result["keypoints"])
     np.save(os.path.join(out_dir, "parents.npy"),
             result["skeleton"].parents)
+    render_generation(result["gen_voxels"], out_dir, Tcond=Tcond)
     from ..viz.visualize import vis_keypoints, vis_recon
     gv = result["gen_voxels"][..., :]
     kp = result["keypoints"]
@@ -71,3 +73,45 @@ def save_outputs(result: dict, out_dir: str, vox_cond=None) -> None:
         vis_recon(ref, gv, logger_path=out_dir, nepoch=0,
                   log_num=gv.shape[0], group="generation",
                   Tcond=vox_cond.shape[0])
+
+
+def render_generation(gen_voxels: np.ndarray, out_dir: str,
+                      Tcond: int = 5) -> None:
+    """Surfel-"plate" renders with estimated normals, the reference's
+    generation output inventory (vis_generation.py:155-192):
+    ``gen_result_imgs_<s>/%02d.png`` per frame + ``gen_result_<s>.gif``
+    per sample; conditioning frames blue, generated frames green, shaded
+    by z-height exactly like the reference's color ramp."""
+    from ..viz import raster as R
+
+    G = gen_voxels.shape[2]
+    cam = R.Camera.look_at(**R.DEFAULT_CAM)
+    for s in range(gen_voxels.shape[0]):
+        img_dir = os.path.join(out_dir, f"gen_result_imgs_{s}")
+        os.makedirs(img_dir, exist_ok=True)
+        frames = []
+        # clip-wide z ramp (the reference derives it from the clip)
+        occ_all = np.stack(np.nonzero(gen_voxels[s, :, ..., 0]),
+                           axis=-1)
+        if len(occ_all) == 0:
+            continue
+        zs = occ_all[:, 3] / ((G - 1) / 2) - 1
+        min_z, z_len = float(zs.min()), float(max(zs.max() - zs.min(),
+                                                  1e-6))
+        for t in range(gen_voxels.shape[1]):
+            coords = np.stack(
+                np.nonzero(gen_voxels[s, t, ..., 0]), axis=-1) \
+                / ((G - 1) / 2) - 1
+            if len(coords) == 0:
+                frames.append(np.ones((cam.H, cam.W, 3), np.float32))
+                continue
+            normals = R.estimate_normals(coords)
+            base = np.array([0.6, 0.6, 1.0]) if t < Tcond \
+                else np.array([0.6, 1.0, 0.6])
+            ramp = (coords[:, -1] - min_z) / z_len * 0.8 + 0.2
+            colors = base[None] * ramp[:, None]
+            img = R.render_surfels(cam, coords, normals, colors,
+                                   radius=0.03)
+            R.save_png(img, os.path.join(img_dir, f"{t:02d}.png"))
+            frames.append(img)
+        R.save_gif(frames, os.path.join(out_dir, f"gen_result_{s}.gif"))

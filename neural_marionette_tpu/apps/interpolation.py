@@ -51,6 +51,10 @@ def save_outputs(result: dict, out_dir: str, vox_clip=None) -> None:
     np.save(os.path.join(out_dir, "interp_voxels.npy"),
             result["interp_voxels"])
     np.save(os.path.join(out_dir, "keypoints.npy"), result["keypoints"])
+    # surfel-plate render set, same presentation as the reference's
+    # interpolation demo (vis_interpolation.py:138-198)
+    from .generation import render_generation
+    render_generation(result["interp_voxels"][None], out_dir, Tcond=0)
     from ..viz.visualize import vis_keypoints, vis_recon
     iv = result["interp_voxels"][None]
     vis_keypoints(iv, result["keypoints"][None], logger_path=out_dir,

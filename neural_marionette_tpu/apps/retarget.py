@@ -23,27 +23,96 @@ from .common import DemoContext, detect_and_extract_skeleton
 def load_obj_vertices(path: str) -> np.ndarray:
     """Minimal OBJ vertex reader (the reference uses Open3D; only the
     vertex positions feed the retarget math)."""
-    verts = []
+    return load_obj_mesh(path)["verts"]
+
+
+def load_obj_mesh(path: str) -> dict:
+    """OBJ reader with faces, per-vertex UVs and the diffuse texture
+    (reference renders the target as a textured Open3D mesh,
+    vis_retarget.py:399-435).  Returns dict(verts, faces, uv, texture) —
+    faces/uv/texture are None when absent."""
+    verts, uvs, faces, face_uvs = [], [], [], []
+    mtllib = None
     with open(path) as f:
         for line in f:
-            if line.startswith("v "):
-                parts = line.split()
-                verts.append([float(parts[1]), float(parts[2]),
-                              float(parts[3])])
-    return np.asarray(verts, dtype=np.float64)
+            p = line.split()
+            if not p:
+                continue
+            if p[0] == "v":
+                verts.append([float(p[1]), float(p[2]), float(p[3])])
+            elif p[0] == "vt":
+                uvs.append([float(p[1]), float(p[2])])
+            elif p[0] == "mtllib":
+                mtllib = p[1]
+            elif p[0] == "f":
+                idx = [q.split("/") for q in p[1:4]]
+                faces.append([int(q[0]) - 1 for q in idx])
+                if all(len(q) > 1 and q[1] for q in idx):
+                    face_uvs.append([int(q[1]) - 1 for q in idx])
+    verts = np.asarray(verts, np.float64)
+    out = dict(verts=verts, faces=None, uv=None, texture=None)
+    if faces:
+        out["faces"] = np.asarray(faces, np.int64)
+    # per-vertex UV: first UV index seen per vertex
+    if face_uvs and len(face_uvs) == len(faces) and uvs:
+        uv_arr = np.asarray(uvs, np.float64)
+        per_vert = np.zeros((len(verts), 2))
+        seen = np.zeros(len(verts), bool)
+        for f_v, f_t in zip(faces, face_uvs):
+            for v_i, t_i in zip(f_v, f_t):
+                if not seen[v_i]:
+                    per_vert[v_i] = uv_arr[t_i]
+                    seen[v_i] = True
+        out["uv"] = per_vert
+    if mtllib:
+        tex = _find_texture(os.path.join(os.path.dirname(path), mtllib))
+        if tex is not None:
+            out["texture"] = tex
+    return out
+
+
+def _find_texture(mtl_path: str):
+    """map_Kd image from an .mtl file, as float RGB (or None)."""
+    if not os.path.exists(mtl_path):
+        return None
+    tex_file = None
+    with open(mtl_path) as f:
+        for line in f:
+            p = line.split()
+            if p and p[0] == "map_Kd":
+                tex_file = p[-1]
+    if not tex_file:
+        return None
+    img_path = os.path.join(os.path.dirname(mtl_path), tex_file)
+    if not os.path.exists(img_path):
+        return None
+    import imageio
+    img = np.asarray(imageio.imread(img_path), np.float32) / 255.0
+    return img[..., :3]
 
 
 def load_target_points(path: str, scale: float = 0.8, x_trans: float = 0.0,
-                       z_trans: float = 0.0, is_bind: bool = False):
+                       z_trans: float = 0.0, is_bind: bool = False,
+                       return_mesh: bool = False):
     """Target shape -> normalized points (reference
-    load_voxel_from_real_data_for_mesh, vis_retarget.py:92-100)."""
+    load_voxel_from_real_data_for_mesh, vis_retarget.py:92-100).
+
+    ``return_mesh=True`` additionally returns dict(faces, uv, texture)
+    aligned with the returned (deformable) points so the render layer can
+    draw the textured/smooth mesh views."""
+    mesh = None
     if path.endswith(".obj"):
-        x = load_obj_vertices(path)
+        mesh = load_obj_mesh(path)
+        x = mesh["verts"]
     else:
         x = np.load(path)[..., :3]
     if is_bind:
         x = np.stack([x[:, 0], -x[:, 2], x[:, 1]], axis=-1)
     x = episodic_normalization(x[None], scale, x_trans, z_trans)[0]
+    if return_mesh:
+        return x, (None if mesh is None else
+                   dict(faces=mesh["faces"], uv=mesh["uv"],
+                        texture=mesh["texture"]))
     return x
 
 
@@ -96,7 +165,15 @@ def run_retarget(ctx: DemoContext, source_vox: np.ndarray,
                 source_keypoints=source_kp[0], target_keypoints=target_kp)
 
 
-def save_outputs(out: dict, out_dir: str) -> None:
+def save_outputs(out: dict, out_dir: str, source_vox=None,
+                 target_mesh=None, target_points=None,
+                 intensity_threshold: float = 0.2) -> None:
+    """Write the retarget output inventory: .npy exports plus the
+    reference's render sets (vis_retarget.py:325-557) — source clip with
+    skeleton cones/spheres, target stills (textured + skin-weight
+    colored), and the deformed result as smooth / skeleton / overlay
+    (+ textured when the target was a textured OBJ) PNG sequences with
+    GIFs, drawn by the software rasterizer in viz/raster.py."""
     os.makedirs(out_dir, exist_ok=True)
     res = out["result"]
     np.save(os.path.join(out_dir, "retargeted_points.npy"), res.new_points)
@@ -105,30 +182,113 @@ def save_outputs(out: dict, out_dir: str) -> None:
     np.save(os.path.join(out_dir, "skin_weights.npy"), res.skin_weights)
     np.save(os.path.join(out_dir, "parents.npy"), out["skeleton"].parents)
 
-    # matplotlib point-cloud animation (Open3D rendering of the reference
-    # replaced by a dependency-free renderer)
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-    try:
-        import imageio
-    except ImportError:
-        return
-    frames = []
+    from ..viz import raster as R
+    cam = R.Camera.look_at(**R.DEFAULT_CAM)
+    skeleton = out["skeleton"]
+    parents = skeleton.parents
+    src_kp = out["source_keypoints"]  # (T, K, 4)
+    valid = src_kp[0, :, -1] >= intensity_threshold
+    K = src_kp.shape[1]
+    joint_colors = R._spaced_colors(K)
     T = res.new_points.shape[0]
-    for t in range(0, T, max(T // 40, 1)):
-        fig = plt.figure(figsize=(4, 4), dpi=64)
-        ax = fig.add_subplot(111, projection="3d")
-        p = res.new_points[t]
-        sub = p[:: max(len(p) // 4000, 1)]
-        ax.scatter(sub[:, 0], sub[:, 2], sub[:, 1], s=1, c="teal",
-                   alpha=0.5, linewidths=0)
-        kp = res.new_keypoints[t]
-        ax.scatter(kp[:, 0], kp[:, 2], kp[:, 1], s=25, c="red")
-        ax.set_xlim(-1, 1); ax.set_ylim(-1, 1); ax.set_zlim(-1, 1)
-        ax.set_axis_off()
-        fig.canvas.draw()
-        frames.append(np.asarray(fig.canvas.buffer_rgba())[..., :3].copy())
-        plt.close(fig)
-    imageio.mimsave(os.path.join(out_dir, "retarget.gif"), frames,
-                    duration=0.12)
+
+    def _seq(name, render_frame):
+        img_dir = os.path.join(out_dir, name)
+        os.makedirs(img_dir, exist_ok=True)
+        frames = []
+        for t in range(T):
+            img = render_frame(t)
+            R.save_png(img, os.path.join(img_dir, f"{t:02d}.png"))
+            frames.append(img)
+        R.save_gif(frames, os.path.join(out_dir, f"{name[:-5]}.gif"))
+
+    # ---- source clip: occupied-voxel points + skeleton (ref :325-398)
+    if source_vox is not None:
+        G = source_vox.shape[1]
+
+        def src_frame(t):
+            coords = np.stack(
+                np.nonzero(source_vox[t, ..., 0]), axis=-1) / ((G - 1) / 2) \
+                - 1
+            img = R.splat(cam, coords,
+                          np.tile([[0.45, 0.45, 0.5]],
+                                  (len(coords), 1)).astype(np.float32),
+                          px=2)
+            v, f, c = R.skeleton_geometry(src_kp[t, :, :3], parents,
+                                          valid=valid,
+                                          joint_colors=joint_colors)
+            return R.render_mesh(cam, v, f, vert_colors=c, img=img)
+
+        _seq("source_imgs", src_frame)
+
+    # ---- target stills (ref :399-435): textured + skin-weight colors
+    faces = (target_mesh or {}).get("faces") if target_mesh else None
+    tex_colors = None
+    if target_mesh and target_mesh.get("uv") is not None \
+            and target_mesh.get("texture") is not None:
+        tex = target_mesh["texture"]
+        uv = np.clip(target_mesh["uv"], 0, 1)
+        h, w = tex.shape[:2]
+        tex_colors = tex[((1 - uv[:, 1]) * (h - 1)).astype(int),
+                         (uv[:, 0] * (w - 1)).astype(int)]
+    if target_points is not None:
+        skin_colors = joint_colors[np.argmax(res.skin_weights, axis=-1)]
+        if faces is not None:
+            base = tex_colors if tex_colors is not None \
+                else np.tile([[0.7, 0.7, 0.7]], (len(target_points), 1))
+            R.save_png(R.render_mesh(cam, target_points, faces,
+                                     vert_colors=base),
+                       os.path.join(out_dir, "target.png"))
+            R.save_png(R.render_mesh(cam, target_points, faces,
+                                     vert_colors=skin_colors),
+                       os.path.join(out_dir, "target_skin.png"))
+        else:
+            n = R.estimate_normals(target_points)
+            R.save_png(R.render_surfels(
+                cam, target_points, n,
+                np.tile([[0.7, 0.7, 0.7]], (len(target_points), 1))),
+                os.path.join(out_dir, "target.png"))
+            R.save_png(R.render_surfels(cam, target_points, n,
+                                        skin_colors),
+                       os.path.join(out_dir, "target_skin.png"))
+
+    # ---- deformed result views (ref :436-557)
+    def mesh_or_surfels(t, colors, img=None):
+        pts = res.new_points[t]
+        if faces is not None:
+            return R.render_mesh(cam, pts, faces, vert_colors=colors,
+                                 img=img)
+        n = R.estimate_normals(pts[:: max(len(pts) // 6000, 1)])
+        sub = pts[:: max(len(pts) // 6000, 1)]
+        c = np.asarray(colors)[:: max(len(pts) // 6000, 1)] \
+            if np.ndim(colors) > 1 else np.tile(colors, (len(sub), 1))
+        return R.render_surfels(cam, sub, n, c, img=img)
+
+    smooth_base = np.tile([[0.55, 0.75, 0.85]],
+                          (res.new_points.shape[1], 1)).astype(np.float32)
+    _seq("smooth_imgs", lambda t: mesh_or_surfels(t, smooth_base))
+    if tex_colors is not None:
+        _seq("textured_imgs", lambda t: mesh_or_surfels(t, tex_colors))
+
+    def skel_frame(t):
+        v, f, c = R.skeleton_geometry(res.new_keypoints[t, :, :3], parents,
+                                      valid=valid,
+                                      joint_colors=joint_colors)
+        return R.render_mesh(cam, v, f, vert_colors=c)
+
+    _seq("skeleton_imgs", skel_frame)
+
+    if source_vox is not None:
+        G = source_vox.shape[1]
+
+        def overlay_frame(t):
+            coords = np.stack(
+                np.nonzero(source_vox[t, ..., 0]), axis=-1) / ((G - 1) / 2) \
+                - 1
+            img = R.splat(cam, coords,
+                          np.tile([[0.8, 0.5, 0.5]],
+                                  (len(coords), 1)).astype(np.float32),
+                          px=2)
+            return mesh_or_surfels(t, smooth_base, img=img)
+
+        _seq("overlay_imgs", overlay_frame)

@@ -41,11 +41,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom below the ~16 MiB core
+VMEM_BUDGET = 9 * 1024 * 1024  # leave headroom below the ~16 MiB core
 
 
-def _conv_kernel(x_ref, w_ref, b_ref, out_ref, *, tz, ty, W, Cin, Cout,
-                 kd, kh, kw, out_dtype):
+def _conv_kernel(x_ref, w_ref, b_ref, out_ref, *, tz, ty, W, Cin,
+                 Cout, kd, kh, kw, out_dtype):
     """One (frame, z-tile, y-tile) program.
 
     x_ref: (1, tz+kd-1, ty+kh-1, W+kw-1, Cin) haloed input block (bf16)
@@ -53,27 +53,48 @@ def _conv_kernel(x_ref, w_ref, b_ref, out_ref, *, tz, ty, W, Cin, Cout,
            N-block dx
     b_ref: (1, Cout) bias
     out_ref: (1, tz, ty, W, Cout)
+
+    (dz, dy) tap groups are consumed two at a time: each matmul contracts
+    K = 2*Cin (a full 128-lane tile at Cin=64) and produces all kw
+    N-blocks, accumulating in f32.
     """
     Wx = W + kw - 1
     rows = tz * ty * Wx
-    parts = []
-    for g in range(kd * kh):
+    nG = kd * kh
+
+    def sl(g):
         dz, dy = divmod(g, kh)
-        sl = x_ref[0, dz:dz + tz, dy:dy + ty, :, :]  # (tz, ty, Wx, Cin)
-        parts.append(sl.reshape(rows, Cin))
-    xg = jnp.concatenate(parts, axis=1)  # (rows, kd*kh*Cin)
-    partial = jnp.dot(xg, w_ref[:, :],
-                      preferred_element_type=jnp.float32)  # (rows, kw*Cout)
-    p = partial.reshape(tz, ty, Wx, kw, Cout)
+        blk = x_ref[0, dz:dz + tz, dy:dy + ty, :, :]  # (tz, ty, Wx, Cin)
+        return blk.reshape(rows, Cin)
+
+    partial = None
+    for g0 in range(0, nG - 1, 2):
+        x2 = jnp.concatenate([sl(g0), sl(g0 + 1)], axis=1)  # (rows, 2Cin)
+        p = jnp.dot(x2, w_ref[g0 * Cin:(g0 + 2) * Cin, :],
+                    preferred_element_type=jnp.float32)
+        partial = p if partial is None else partial + p
+    if nG % 2:
+        p = jnp.dot(sl(nG - 1), w_ref[(nG - 1) * Cin:nG * Cin, :],
+                    preferred_element_type=jnp.float32)
+        partial = p if partial is None else partial + p
+
     y = b_ref[0, :].astype(jnp.float32)
     for dx in range(kw):
-        y = y + p[:, :, dx:dx + W, dx]
+        # static lane-dim slice, then major-dim-only reshape (Mosaic can't
+        # lower reshapes that split the minor/lane dimension)
+        p_dx = partial[:, dx * Cout:(dx + 1) * Cout]
+        p_dx = p_dx.reshape(tz, ty, Wx, Cout)
+        y = y + p_dx[:, :, dx:dx + W, :]
     out_ref[0, :, :, :, :] = y.astype(out_dtype)
 
 
-def _pick_tiles(D, H, W, Cin, kd, kh, kw):
-    """Largest (tz, ty) dividing (D, H) whose Xg block fits the budget."""
-    bytes_per_row = kd * kh * Cin * 2 + Cin * 2  # Xg + input slab, bf16
+def _lanes(c):  # lane-padded width
+    return -(-c // 128) * 128
+
+
+def _pick_tiles(D, H, W, Cin, Cout, kd, kh, kw):
+    """Largest (tz, ty) dividing (D, H) fitting the VMEM budget, counting
+    lane padding and a 2x slack for Mosaic temporaries."""
     for tz in (8, 4, 2, 1):
         if D % tz:
             continue
@@ -81,7 +102,13 @@ def _pick_tiles(D, H, W, Cin, kd, kh, kw):
             if ty < 1 or H % ty:
                 continue
             rows = tz * ty * (W + kw - 1)
-            if rows * bytes_per_row <= VMEM_BUDGET:
+            need = (rows * _lanes(kw * Cout) * 4 * 2   # f32 partial + temp
+                    + rows * _lanes(2 * Cin) * 2 * 2   # x2 temp + slices
+                    + 2 * (tz + kd - 1) * (ty + kh - 1)
+                    * (W + kw - 1) * _lanes(Cin) * 2   # input, 2 buffers
+                    + 2 * tz * ty * W * _lanes(Cout) * 2   # out, 2 buffers
+                    + tz * ty * (W + kw - 1) * _lanes(Cout) * 4 * 2)  # y
+            if 2 * need <= 2 * VMEM_BUDGET and need <= VMEM_BUDGET:
                 return tz, ty
     return 1, 1
 
@@ -100,7 +127,7 @@ def _conv3d_pallas_fwd(x, w, b):
     wp = wp.reshape(kd * kh * Cin, kw * Cout).astype(jnp.bfloat16)
     bb = b.reshape(1, Cout).astype(jnp.bfloat16)
 
-    tz, ty = _pick_tiles(D, H, W, Cin, kd, kh, kw)
+    tz, ty = _pick_tiles(D, H, W, Cin, Cout, kd, kh, kw)
     kernel = functools.partial(_conv_kernel, tz=tz, ty=ty, W=W, Cin=Cin,
                                Cout=Cout, kd=kd, kh=kh, kw=kw,
                                out_dtype=out_dtype)

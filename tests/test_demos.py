@@ -50,8 +50,13 @@ def test_generation_demo(ctx, clip, tmp_path):
     assert result["gen_voxels"].shape == (2, 5, G, G, G, 1)
     assert result["keypoints"].shape == (2, 5, ctx.cfg.nkeypoints, 4)
     assert set(np.unique(result["gen_voxels"])) <= {0.0, 1.0}
-    save_outputs(result, str(tmp_path / "gen"), vox_cond=vox[:2])
+    save_outputs(result, str(tmp_path / "gen"), vox_cond=vox[:2], Tcond=2)
     assert os.path.exists(tmp_path / "gen" / "gen_voxels.npy")
+    # surfel-plate render set (reference output inventory)
+    for s in range(2):
+        assert os.path.exists(tmp_path / "gen" / f"gen_result_{s}.gif")
+        assert os.path.exists(
+            tmp_path / "gen" / f"gen_result_imgs_{s}" / "00.png")
 
 
 def test_interpolation_demo(ctx, clip, tmp_path):
@@ -84,8 +89,16 @@ def test_retarget_demo(ctx, clip, tmp_path):
     assert res.new_keypoints.shape == (T, ctx.cfg.nkeypoints, 4)
     assert res.skin_weights.shape == (N, ctx.cfg.nkeypoints)
     assert np.isfinite(res.new_points).all()
-    save_outputs(out, str(tmp_path / "ret"))
-    assert os.path.exists(tmp_path / "ret" / "retarget.gif")
+    save_outputs(out, str(tmp_path / "ret"), source_vox=vox,
+                 target_points=target_points)
+    # reference render inventory: source w/ skeleton, target stills,
+    # smooth / skeleton / overlay deformed sequences + GIFs
+    for f in ["source.gif", "smooth.gif", "skeleton.gif", "overlay.gif",
+              "target.png", "target_skin.png"]:
+        assert os.path.exists(tmp_path / "ret" / f), f
+    for d in ["source_imgs", "smooth_imgs", "skeleton_imgs",
+              "overlay_imgs"]:
+        assert os.path.exists(tmp_path / "ret" / d / "00.png"), d
 
     base = run_retarget(ctx, vox, target_points, mode="baseline", seed=0)
     assert np.isfinite(base["result"].new_points).all()

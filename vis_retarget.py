@@ -49,10 +49,11 @@ def main():
         print(f"{args.source_file} not found; using a synthetic clip")
         source_vox, _ = synthetic_clip(ctx.cfg, seed=args.seed)
 
+    target_mesh = None
     if os.path.exists(args.target_file):
-        target_points = load_target_points(
+        target_points, target_mesh = load_target_points(
             args.target_file, scale=args.target_scale,
-            is_bind=bool(args.is_bind))
+            is_bind=bool(args.is_bind), return_mesh=True)
     else:
         print(f"{args.target_file} not found; using a synthetic target")
         vox, pts = synthetic_clip(ctx.cfg, seed=args.seed + 7)
@@ -61,7 +62,8 @@ def main():
     out = run_retarget(ctx, source_vox, target_points,
                        hardness=args.hardness, mode=args.mode,
                        seed=args.seed)
-    save_outputs(out, args.out_dir)
+    save_outputs(out, args.out_dir, source_vox=source_vox,
+                 target_mesh=target_mesh, target_points=target_points)
     print(f"wrote retargeted motion to {args.out_dir}")
 
 

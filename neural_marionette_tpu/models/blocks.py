@@ -47,9 +47,9 @@ class Basic3DBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.out_channels, (self.kernel_size,) * 3,
-                    padding="SAME", kernel_init=BLOCK_CONV_INIT,
-                    bias_init=zeros_init(), dtype=self.dtype)(x)
+        x = Conv(self.out_channels, (self.kernel_size,) * 3,
+                 padding="SAME", kernel_init=BLOCK_CONV_INIT,
+                 bias_init=zeros_init(), dtype=self.dtype)(x)
         x = group_norm(self.out_channels)(x)
         return leaky_relu(x)
 
@@ -65,12 +65,12 @@ class Res3DBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_channels = x.shape[-1]
-        res = nn.Conv(self.out_channels, (3, 3, 3), padding="SAME",
+        res = Conv(self.out_channels, (3, 3, 3), padding="SAME",
                       kernel_init=BLOCK_CONV_INIT, bias_init=zeros_init(),
                       dtype=self.dtype)(x)
         res = group_norm(self.out_channels)(res)
         res = leaky_relu(res)
-        res = nn.Conv(self.out_channels, (3, 3, 3), padding="SAME",
+        res = Conv(self.out_channels, (3, 3, 3), padding="SAME",
                       kernel_init=BLOCK_CONV_INIT, bias_init=zeros_init(),
                       dtype=self.dtype)(res)
         res = group_norm(self.out_channels)(res)
@@ -171,3 +171,46 @@ class Hourglass(nn.Module):
         x = Upsample3DBlock(self.output_channels, outer_padding[2],
                             dtype=dt)(x)
         return x + skip1
+
+
+def _pallas_conv_applicable(mod: "Conv", x) -> bool:
+    """Route through the tap-packed Pallas kernel only where it wins:
+    odd cubic stride-1 SAME convs, bf16 compute, real TPU backend."""
+    import os
+    import jax
+    if os.environ.get("NM_NO_PALLAS_CONV"):
+        return False
+    k = mod.kernel_size
+    strides = mod.strides or 1
+    return (x.ndim == 5
+            and len(k) == 3 and len(set(k)) == 1 and k[0] % 2 == 1
+            and k[0] >= 3
+            and strides in (1, (1, 1, 1))
+            and mod.padding == "SAME"
+            and mod.feature_group_count == 1
+            and mod.use_bias
+            and mod.dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu")
+
+
+class Conv(nn.Conv):
+    """Drop-in nn.Conv (same class name, so flax auto-naming and therefore
+    the parameter tree / checkpoints are unchanged) that computes odd
+    cubic stride-1 convs through the tap-packed Pallas kernel
+    (ops/pallas/conv3d_kernel) on the TPU bf16 path, and defers to XLA's
+    conv everywhere else (1x1 heads, fp32 parity tests, CPU backends)."""
+
+    @nn.compact
+    def __call__(self, x):
+        if not _pallas_conv_applicable(self, x):
+            return super().__call__(x)
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            tuple(self.kernel_size) + (x.shape[-1], self.features),
+            self.param_dtype)
+        bias = self.param("bias", self.bias_init, (self.features,),
+                          self.param_dtype)
+        from flax.linen.dtypes import promote_dtype
+        x, kernel, bias = promote_dtype(x, kernel, bias, dtype=self.dtype)
+        from ..ops.pallas.conv3d_kernel import conv3d_pallas
+        return conv3d_pallas(x, kernel, bias)

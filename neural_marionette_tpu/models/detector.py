@@ -25,7 +25,7 @@ from ..ops.keypoints import extract_keypoints_from_heatmap, \
     render_gaussian_maps
 from ..ops import losses as L
 from .blocks import (Basic3DBlock, Res3DBlock, Pool3DBlock, Hourglass,
-                     PLAIN_CONV_INIT, group_norm, leaky_relu)
+                     Conv, PLAIN_CONV_INIT, group_norm, leaky_relu)
 
 
 def _fold_time(x):
@@ -206,9 +206,9 @@ class VoxelDecoder(nn.Module):
         from ..ops.upsample import upsample2_trilinear as upsample2
 
         def conv_gn_lrelu(v, C):
-            v = nn.Conv(C, (3, 3, 3), padding="SAME",
-                        kernel_init=PLAIN_CONV_INIT, bias_init=zeros_init(),
-                        dtype=self.dtype)(v)
+            v = Conv(C, (3, 3, 3), padding="SAME",
+                     kernel_init=PLAIN_CONV_INIT, bias_init=zeros_init(),
+                     dtype=self.dtype)(v)
             v = group_norm(C)(v)
             return leaky_relu(v)
 

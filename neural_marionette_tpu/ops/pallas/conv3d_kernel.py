@@ -44,11 +44,17 @@ from jax.experimental.pallas import tpu as pltpu
 VMEM_BUDGET = 9 * 1024 * 1024  # leave headroom below the ~16 MiB core
 
 
-def _conv_kernel(x_ref, w_ref, b_ref, out_ref, *, tz, ty, W, Cin,
-                 Cout, kd, kh, kw, out_dtype):
+def _conv_kernel(x_ref, w_ref, b_ref, out_ref, *, tz, ty, W, Wp,
+                 Cin, Cout, kd, kh, kw, out_dtype):
     """One (frame, z-tile, y-tile) program.
 
-    x_ref: (1, tz+kd-1, ty+kh-1, W+kw-1, Cin) haloed input block (bf16)
+    x_ref: (1, 1, 1, tz+kd-1, ty+kh-1, Wp, Cin) haloed input block.  Halo
+           tiles overlap between programs, which BlockSpec index maps
+           cannot express (they address in block units) and manual HBM
+           DMA slicing cannot either (the minor dim must be 128-aligned);
+           instead the wrapper materialises the halo blocks ONCE with an
+           XLA stack-of-slices (~(tz+2)/tz * (ty+2)/ty extra input
+           traffic) and Pallas pipelines them like any other input.
     w_ref: (kd*kh*Cin, kw*Cout) packed weights; K-block g=(dz,dy),
            N-block dx
     b_ref: (1, Cout) bias
@@ -56,16 +62,17 @@ def _conv_kernel(x_ref, w_ref, b_ref, out_ref, *, tz, ty, W, Cin,
 
     (dz, dy) tap groups are consumed two at a time: each matmul contracts
     K = 2*Cin (a full 128-lane tile at Cin=64) and produces all kw
-    N-blocks, accumulating in f32.
+    N-blocks, accumulating in f32.  Wp is W + kw - 1 rounded up to the
+    sublane tile; the pad columns ride through the matmuls and are
+    dropped by the dx reduction.
     """
-    Wx = W + kw - 1
-    rows = tz * ty * Wx
+    rows = tz * ty * Wp
     nG = kd * kh
 
     def sl(g):
         dz, dy = divmod(g, kh)
-        blk = x_ref[0, dz:dz + tz, dy:dy + ty, :, :]  # (tz, ty, Wx, Cin)
-        return blk.reshape(rows, Cin)
+        blk = x_ref[0, 0, 0, dz:dz + tz, dy:dy + ty, :, :]
+        return blk.reshape(rows, Cin)  # (tz, ty, Wp, Cin) -> rows-major
 
     partial = None
     for g0 in range(0, nG - 1, 2):
@@ -83,7 +90,7 @@ def _conv_kernel(x_ref, w_ref, b_ref, out_ref, *, tz, ty, W, Cin,
         # static lane-dim slice, then major-dim-only reshape (Mosaic can't
         # lower reshapes that split the minor/lane dimension)
         p_dx = partial[:, dx * Cout:(dx + 1) * Cout]
-        p_dx = p_dx.reshape(tz, ty, Wx, Cout)
+        p_dx = p_dx.reshape(tz, ty, Wp, Cout)
         y = y + p_dx[:, :, dx:dx + W, :]
     out_ref[0, :, :, :, :] = y.astype(out_dtype)
 
@@ -101,7 +108,7 @@ def _pick_tiles(D, H, W, Cin, Cout, kd, kh, kw):
         for ty in (H, H // 2, H // 4, H // 8, 8, 4, 2, 1):
             if ty < 1 or H % ty:
                 continue
-            rows = tz * ty * (W + kw - 1)
+            rows = tz * ty * (-(-(W + kw - 1) // 8) * 8)
             need = (rows * _lanes(kw * Cout) * 4 * 2   # f32 partial + temp
                     + rows * _lanes(2 * Cin) * 2 * 2   # x2 temp + slices
                     + 2 * (tz + kd - 1) * (ty + kh - 1)
@@ -120,7 +127,9 @@ def _conv3d_pallas_fwd(x, w, b):
     out_dtype = x.dtype
     pz, py, px = kd // 2, kh // 2, kw // 2
 
-    xp = jnp.pad(x, ((0, 0), (pz, pz), (py, py), (px, px), (0, 0)))
+    Wp = -(-(W + kw - 1) // 8) * 8  # sublane-aligned width incl. halo
+    xp = jnp.pad(x, ((0, 0), (pz, pz), (py, py),
+                     (px, px + Wp - (W + kw - 1)), (0, 0)))
     xb = xp.astype(jnp.bfloat16)
     # packed weights: rows = (dz, dy) blocks of Cin; cols = dx blocks
     wp = jnp.transpose(w, (0, 1, 3, 2, 4))     # (dz, dy, Cin, dx, Cout)
@@ -128,16 +137,23 @@ def _conv3d_pallas_fwd(x, w, b):
     bb = b.reshape(1, Cout).astype(jnp.bfloat16)
 
     tz, ty = _pick_tiles(D, H, W, Cin, Cout, kd, kh, kw)
-    kernel = functools.partial(_conv_kernel, tz=tz, ty=ty, W=W, Cin=Cin,
-                               Cout=Cout, kd=kd, kh=kh, kw=kw,
+    # materialise overlapping halo blocks (see _conv_kernel docstring)
+    xz = jnp.stack([xb[:, i * tz:i * tz + tz + kd - 1]
+                    for i in range(D // tz)], axis=1)
+    xzy = jnp.stack([xz[:, :, :, j * ty:j * ty + ty + kh - 1]
+                     for j in range(H // ty)], axis=2)
+    # (F, D/tz, H/ty, tz+kd-1, ty+kh-1, Wp, Cin)
+
+    kernel = functools.partial(_conv_kernel, tz=tz, ty=ty, W=W, Wp=Wp,
+                               Cin=Cin, Cout=Cout, kd=kd, kh=kh, kw=kw,
                                out_dtype=out_dtype)
     out = pl.pallas_call(
         kernel,
         interpret=jax.default_backend() != "tpu",
         grid=(F, D // tz, H // ty),
         in_specs=[
-            pl.BlockSpec((1, tz + kd - 1, ty + kh - 1, W + kw - 1, Cin),
-                         lambda f, z, y: (f, z, y, 0, 0),
+            pl.BlockSpec((1, 1, 1, tz + kd - 1, ty + kh - 1, Wp, Cin),
+                         lambda f, z, y: (f, z, y, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((kd * kh * Cin, kw * Cout),
                          lambda f, z, y: (0, 0),
@@ -151,9 +167,9 @@ def _conv3d_pallas_fwd(x, w, b):
         out_shape=jax.ShapeDtypeStruct((F, D, H, W, Cout), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * F * D * H * W * kd * kh * kw * Cin * Cout,
-            bytes_accessed=xb.size * 2 + F * D * H * W * Cout * 2,
+            bytes_accessed=xzy.size * 2 + F * D * H * W * Cout * 2,
             transcendentals=0),
-    )(xb, wp, bb)
+    )(xzy, wp, bb)
     return out
 
 

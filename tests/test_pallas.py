@@ -1,6 +1,8 @@
 """Pallas kernel tests (interpret mode on the CPU test backend; the same
 code compiles via Mosaic on TPU — validated on hardware, see BASELINE.md)."""
 import numpy as np
+import pytest
+import jax
 import jax.numpy as jnp
 
 from neural_marionette_tpu.ops import voxelize_jnp, voxelize_np
@@ -43,3 +45,82 @@ def test_nonmultiple_point_count_padding():
     a = np.asarray(voxelize_jnp(pts, 32))
     b = np.asarray(voxelize_pallas(pts, 32))
     np.testing.assert_array_equal(a, b)
+
+
+# ------------------------------------------------------- tap-packed conv3d
+def _conv_ref(x, w, b):
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, w.shape, ("NDHWC", "DHWIO", "NDHWC"))
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1, 1), "SAME", dimension_numbers=dn) + b
+
+
+@pytest.mark.parametrize("shape,k", [
+    ((2, 8, 8, 8, 16), 3),   # single-tile
+    ((1, 8, 8, 16, 32), 3),  # wider W
+    ((1, 8, 8, 8, 4), 5),    # 5^3 stem shape
+])
+def test_conv3d_pallas_forward(shape, k):
+    from neural_marionette_tpu.ops.pallas.conv3d_kernel import conv3d_pallas
+    g = np.random.default_rng(0)
+    cin, cout = shape[-1], 8
+    x = jnp.asarray(g.normal(size=shape), jnp.float32)
+    w = jnp.asarray(g.normal(size=(k, k, k, cin, cout)) * 0.1, jnp.float32)
+    b = jnp.asarray(g.normal(size=(cout,)) * 0.1, jnp.float32)
+    ref = _conv_ref(x, w, b)
+    out = conv3d_pallas(x, w, b)
+    # kernel computes in bf16 with f32 accumulation
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=0.05 * float(jnp.abs(ref).max()))
+
+
+def test_conv3d_pallas_multi_tile(monkeypatch):
+    """Force tiny tiles so the halo-DMA grid path executes (a whole-frame
+    tile hides index-map bugs — this was a real one on hardware)."""
+    from neural_marionette_tpu.ops.pallas import conv3d_kernel as ck
+    monkeypatch.setattr(ck, "VMEM_BUDGET", 200 * 1024)
+    assert ck._pick_tiles(8, 16, 16, 16, 8, 3, 3, 3) != (8, 16)
+    g = np.random.default_rng(1)
+    x = jnp.asarray(g.normal(size=(2, 8, 16, 16, 16)), jnp.float32)
+    w = jnp.asarray(g.normal(size=(3, 3, 3, 16, 8)) * 0.1, jnp.float32)
+    b = jnp.asarray(g.normal(size=(8,)) * 0.1, jnp.float32)
+    ref = _conv_ref(x, w, b)
+    out = ck.conv3d_pallas(x, w, b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=0.05 * float(jnp.abs(ref).max()))
+
+
+def test_conv3d_pallas_grads():
+    from neural_marionette_tpu.ops.pallas.conv3d_kernel import conv3d_pallas
+    g = np.random.default_rng(2)
+    x = jnp.asarray(g.normal(size=(1, 8, 8, 8, 16)), jnp.float32)
+    w = jnp.asarray(g.normal(size=(3, 3, 3, 16, 8)) * 0.1, jnp.float32)
+    b = jnp.asarray(g.normal(size=(8,)) * 0.1, jnp.float32)
+    f_p = lambda *a: jnp.sum(jnp.sin(conv3d_pallas(*a)))
+    f_r = lambda *a: jnp.sum(jnp.sin(_conv_ref(*a)))
+    gp = jax.grad(f_p, argnums=(0, 1, 2))(x, w, b)
+    gr = jax.grad(f_r, argnums=(0, 1, 2))(x, w, b)
+    for a, r in zip(gp, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), rtol=0,
+            atol=0.02 * float(jnp.abs(r).max()) + 1e-5)
+
+
+def test_conv_module_routes_through_pallas(monkeypatch):
+    """The flax Conv drop-in produces the same output (to bf16 tolerance)
+    and the same param tree whether it routes through the Pallas kernel
+    or XLA (TPU-only routing is forced on here)."""
+    from neural_marionette_tpu.models import blocks
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 8, 8, 4)),
+                    jnp.float32)
+    m = blocks.Res3DBlock(8)
+    params = m.init(jax.random.PRNGKey(0), x)
+    ref = m.apply(params, x)
+    monkeypatch.setattr(
+        blocks, "_pallas_conv_applicable",
+        lambda mod, v: (v.ndim == 5 and len(mod.kernel_size) == 3
+                        and mod.kernel_size[0] == 3))
+    out = m.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=0,
+        atol=0.05 * float(jnp.abs(ref).max()))

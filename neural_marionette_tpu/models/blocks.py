@@ -174,11 +174,19 @@ class Hourglass(nn.Module):
 
 
 def _pallas_conv_applicable(mod: "Conv", x) -> bool:
-    """Route through the tap-packed Pallas kernel only where it wins:
-    odd cubic stride-1 SAME convs, bf16 compute, real TPU backend."""
+    """Route through the tap-packed Pallas kernel: odd cubic stride-1
+    SAME convs, bf16 compute, real TPU backend.
+
+    OPT-IN (NM_PALLAS_CONV=1): measured on hardware (ROADMAP.md), the
+    kernel reaches 20.7 TF/s on the 64^3 64->32 decoder conv — 1.5x the
+    standalone XLA conv but still behind XLA's in-graph fusion (39.6 ms
+    there includes the GN stats and a layout XLA chose globally).  The
+    identified path to a real win is a fused decoder megakernel that
+    keeps activations in VMEM across conv+GN+LReLU stages; until then
+    the default stays XLA."""
     import os
     import jax
-    if os.environ.get("NM_NO_PALLAS_CONV"):
+    if os.environ.get("NM_PALLAS_CONV") != "1":
         return False
     k = mod.kernel_size
     strides = mod.strides or 1

@@ -26,11 +26,19 @@ slots — no padded tap slots — so the MXU shape efficiency approaches the
 K/N lane-tile occupancies instead of the ~Cout/128 ceiling of the naive
 layout, with f32 accumulation.
 
-The wrapper handles SAME padding, adaptive (tz, ty) tiling to a VMEM
-budget, and a custom VJP (backward = XLA convs, numerically the mirror of
-``nn.Conv``'s own gradients, so training is unaffected).  On non-TPU
-backends the kernel runs interpreted (CPU tests) — production use there
-should prefer ``nn.Conv``.
+The grid runs one program per (frame, z-plane); the kd z-shifted views
+needed for the z taps are the SAME padded array passed kd times with
+shifted BlockSpec index maps (halo copies are never materialised — index
+maps address in block units, so a z-block of 1 makes any shift legal).
+The wrapper handles SAME padding and a custom VJP (backward = XLA convs,
+numerically the mirror of ``nn.Conv``'s own gradients).  On non-TPU
+backends the kernel runs interpreted (CPU tests).
+
+Hardware status (see ROADMAP.md): 20.7 TF/s on the 64^3 64->32 decoder
+conv — 1.5x the standalone XLA conv, but XLA's in-graph fusion still wins
+(it picks layouts globally and fuses the GN stats), so the model routes
+through this kernel only when NM_PALLAS_CONV=1.  The identified end state
+is a decoder megakernel fusing conv+GN+LeakyReLU chains in VMEM.
 """
 from __future__ import annotations
 
@@ -41,42 +49,38 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-VMEM_BUDGET = 9 * 1024 * 1024  # leave headroom below the ~16 MiB core
+def _conv_kernel(*refs, H, W, Wp, Cin, Cout, kd, kh, kw, out_dtype):
+    """One (frame, z-plane) program.
 
+    refs = (x_dz0, ..., x_dz{kd-1}, w, b, out): the SAME padded input
+    array is passed kd times with z-shifted BlockSpec index maps — that
+    is how overlapping z-halos are expressed without materialising halo
+    copies (index maps address in block units, so a z-block size of 1
+    makes arbitrary shifts legal).  Each x block is one z-plane
+    (1, 1, H+kh-1, Wp, Cin); y-halos are slices of the plane, x-halos
+    live in the Wp padding.
 
-def _conv_kernel(x_ref, w_ref, b_ref, out_ref, *, tz, ty, W, Wp,
-                 Cin, Cout, kd, kh, kw, out_dtype):
-    """One (frame, z-tile, y-tile) program.
-
-    x_ref: (1, 1, 1, tz+kd-1, ty+kh-1, Wp, Cin) haloed input block.  Halo
-           tiles overlap between programs, which BlockSpec index maps
-           cannot express (they address in block units) and manual HBM
-           DMA slicing cannot either (the minor dim must be 128-aligned);
-           instead the wrapper materialises the halo blocks ONCE with an
-           XLA stack-of-slices (~(tz+2)/tz * (ty+2)/ty extra input
-           traffic) and Pallas pipelines them like any other input.
-    w_ref: (kd*kh*Cin, kw*Cout) packed weights; K-block g=(dz,dy),
-           N-block dx
-    b_ref: (1, Cout) bias
-    out_ref: (1, tz, ty, W, Cout)
+    w: (kd*kh*Cin, kw*Cout) packed weights; K-block g=(dz,dy), N-block
+    dx.  b: (1, Cout).  out: (1, 1, H, W, Cout).
 
     (dz, dy) tap groups are consumed two at a time: each matmul contracts
     K = 2*Cin (a full 128-lane tile at Cin=64) and produces all kw
-    N-blocks, accumulating in f32.  Wp is W + kw - 1 rounded up to the
-    sublane tile; the pad columns ride through the matmuls and are
-    dropped by the dx reduction.
+    N-blocks, accumulating partials in f32; the dx reduction drops the
+    Wp pad columns.
     """
-    rows = tz * ty * Wp
+    x_refs = refs[:kd]
+    w_ref, b_ref, out_ref = refs[kd], refs[kd + 1], refs[kd + 2]
+    rows = H * Wp
     nG = kd * kh
 
     def sl(g):
         dz, dy = divmod(g, kh)
-        blk = x_ref[0, 0, 0, dz:dz + tz, dy:dy + ty, :, :]
-        return blk.reshape(rows, Cin)  # (tz, ty, Wp, Cin) -> rows-major
+        blk = x_refs[dz][0, 0, dy:dy + H, :, :]  # (H, Wp, Cin)
+        return blk.reshape(rows, Cin)
 
     partial = None
     for g0 in range(0, nG - 1, 2):
-        x2 = jnp.concatenate([sl(g0), sl(g0 + 1)], axis=1)  # (rows, 2Cin)
+        x2 = jnp.concatenate([sl(g0), sl(g0 + 1)], axis=1)
         p = jnp.dot(x2, w_ref[g0 * Cin:(g0 + 2) * Cin, :],
                     preferred_element_type=jnp.float32)
         partial = p if partial is None else partial + p
@@ -87,37 +91,12 @@ def _conv_kernel(x_ref, w_ref, b_ref, out_ref, *, tz, ty, W, Wp,
 
     y = b_ref[0, :].astype(jnp.float32)
     for dx in range(kw):
-        # static lane-dim slice, then major-dim-only reshape (Mosaic can't
-        # lower reshapes that split the minor/lane dimension)
+        # static lane slice, then major-dim-only reshape (Mosaic cannot
+        # lower reshapes that split the minor dim)
         p_dx = partial[:, dx * Cout:(dx + 1) * Cout]
-        p_dx = p_dx.reshape(tz, ty, Wp, Cout)
-        y = y + p_dx[:, :, dx:dx + W, :]
-    out_ref[0, :, :, :, :] = y.astype(out_dtype)
-
-
-def _lanes(c):  # lane-padded width
-    return -(-c // 128) * 128
-
-
-def _pick_tiles(D, H, W, Cin, Cout, kd, kh, kw):
-    """Largest (tz, ty) dividing (D, H) fitting the VMEM budget, counting
-    lane padding and a 2x slack for Mosaic temporaries."""
-    for tz in (8, 4, 2, 1):
-        if D % tz:
-            continue
-        for ty in (H, H // 2, H // 4, H // 8, 8, 4, 2, 1):
-            if ty < 1 or H % ty:
-                continue
-            rows = tz * ty * (-(-(W + kw - 1) // 8) * 8)
-            need = (rows * _lanes(kw * Cout) * 4 * 2   # f32 partial + temp
-                    + rows * _lanes(2 * Cin) * 2 * 2   # x2 temp + slices
-                    + 2 * (tz + kd - 1) * (ty + kh - 1)
-                    * (W + kw - 1) * _lanes(Cin) * 2   # input, 2 buffers
-                    + 2 * tz * ty * W * _lanes(Cout) * 2   # out, 2 buffers
-                    + tz * ty * (W + kw - 1) * _lanes(Cout) * 4 * 2)  # y
-            if 2 * need <= 2 * VMEM_BUDGET and need <= VMEM_BUDGET:
-                return tz, ty
-    return 1, 1
+        p_dx = p_dx.reshape(H, Wp, Cout)
+        y = y + p_dx[:, dx:dx + W, :]
+    out_ref[0, 0, :, :, :] = y.astype(out_dtype)
 
 
 def _conv3d_pallas_fwd(x, w, b):
@@ -136,40 +115,35 @@ def _conv3d_pallas_fwd(x, w, b):
     wp = wp.reshape(kd * kh * Cin, kw * Cout).astype(jnp.bfloat16)
     bb = b.reshape(1, Cout).astype(jnp.bfloat16)
 
-    tz, ty = _pick_tiles(D, H, W, Cin, Cout, kd, kh, kw)
-    # materialise overlapping halo blocks (see _conv_kernel docstring)
-    xz = jnp.stack([xb[:, i * tz:i * tz + tz + kd - 1]
-                    for i in range(D // tz)], axis=1)
-    xzy = jnp.stack([xz[:, :, :, j * ty:j * ty + ty + kh - 1]
-                     for j in range(H // ty)], axis=2)
-    # (F, D/tz, H/ty, tz+kd-1, ty+kh-1, Wp, Cin)
-
-    kernel = functools.partial(_conv_kernel, tz=tz, ty=ty, W=W, Wp=Wp,
+    kernel = functools.partial(_conv_kernel, H=H, W=W, Wp=Wp,
                                Cin=Cin, Cout=Cout, kd=kd, kh=kh, kw=kw,
                                out_dtype=out_dtype)
+
+    def x_spec(dz):
+        return pl.BlockSpec((1, 1, H + kh - 1, Wp, Cin),
+                            lambda f, z, dz=dz: (f, z + dz, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
     out = pl.pallas_call(
         kernel,
         interpret=jax.default_backend() != "tpu",
-        grid=(F, D // tz, H // ty),
-        in_specs=[
-            pl.BlockSpec((1, 1, 1, tz + kd - 1, ty + kh - 1, Wp, Cin),
-                         lambda f, z, y: (f, z, y, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+        grid=(F, D),
+        in_specs=[x_spec(dz) for dz in range(kd)] + [
             pl.BlockSpec((kd * kh * Cin, kw * Cout),
-                         lambda f, z, y: (0, 0),
+                         lambda f, z: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cout), lambda f, z, y: (0, 0),
+            pl.BlockSpec((1, Cout), lambda f, z: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tz, ty, W, Cout),
-                               lambda f, z, y: (f, z, y, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, H, W, Cout),
+                               lambda f, z: (f, z, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((F, D, H, W, Cout), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * F * D * H * W * kd * kh * kw * Cin * Cout,
-            bytes_accessed=xzy.size * 2 + F * D * H * W * Cout * 2,
+            bytes_accessed=kd * xb.size * 2 + F * D * H * W * Cout * 2,
             transcendentals=0),
-    )(xzy, wp, bb)
+    )(*([xb] * kd + [wp, bb]))
     return out
 
 

@@ -42,14 +42,16 @@ def main():
                         skeleton=sk)
     state = create_train_state(cfg, params, jax.random.PRNGKey(2))
     step = make_train_step(model, cfg, loss_weights(cfg), True, True, True,
-                           mesh=None, donate=False)
+                           mesh=None, donate=True)
 
     state, metrics = step(state, batch, sk)
-    jax.block_until_ready(metrics["total_loss"])
+    print("warmup loss:", float(metrics["total_loss"]))
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, batch, sk)
-    jax.block_until_ready(metrics["total_loss"])
+        # host fetch each iter: under the tunneled axon runtime,
+        # block_until_ready alone has produced bogus timings
+        float(metrics["total_loss"])
     dt = (time.perf_counter() - t0) / iters
     print(f"train step B={B} {dtype_name} (all losses, detector+learner): "
           f"{dt * 1000:.1f} ms/step -> {B / dt:.2f} seqs/sec")

@@ -74,20 +74,23 @@ def test_conv3d_pallas_forward(shape, k):
                                rtol=0, atol=0.05 * float(jnp.abs(ref).max()))
 
 
-def test_conv3d_pallas_multi_tile(monkeypatch):
-    """Force tiny tiles so the halo-DMA grid path executes (a whole-frame
-    tile hides index-map bugs — this was a real one on hardware)."""
-    from neural_marionette_tpu.ops.pallas import conv3d_kernel as ck
-    monkeypatch.setattr(ck, "VMEM_BUDGET", 200 * 1024)
-    assert ck._pick_tiles(8, 16, 16, 16, 8, 3, 3, 3) != (8, 16)
+def test_conv3d_pallas_z_boundaries():
+    """Each grid program covers one z-plane with kd shifted views of the
+    same array; verify boundary planes (where SAME-padding contributes)
+    exactly, with strongly z-asymmetric content."""
+    from neural_marionette_tpu.ops.pallas.conv3d_kernel import conv3d_pallas
     g = np.random.default_rng(1)
-    x = jnp.asarray(g.normal(size=(2, 8, 16, 16, 16)), jnp.float32)
+    x = jnp.asarray(g.normal(size=(1, 6, 8, 8, 16))
+                    * np.arange(1, 7)[None, :, None, None, None],
+                    jnp.float32)
     w = jnp.asarray(g.normal(size=(3, 3, 3, 16, 8)) * 0.1, jnp.float32)
-    b = jnp.asarray(g.normal(size=(8,)) * 0.1, jnp.float32)
+    b = jnp.zeros((8,), jnp.float32)
     ref = _conv_ref(x, w, b)
-    out = ck.conv3d_pallas(x, w, b)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=0, atol=0.05 * float(jnp.abs(ref).max()))
+    out = conv3d_pallas(x, w, b)
+    for z in (0, 5):  # boundary planes
+        np.testing.assert_allclose(
+            np.asarray(out[:, z]), np.asarray(ref[:, z]), rtol=0,
+            atol=0.05 * float(jnp.abs(ref).max()))
 
 
 def test_conv3d_pallas_grads():

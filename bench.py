@@ -40,7 +40,7 @@ def main():
     rng = np.random.default_rng(0)
     pts = jnp.asarray(rng.uniform(-0.8, 0.8, size=(B, T, 2048, 3)),
                       dtype=jnp.float32)
-    batch = voxelize_jnp(pts, G)
+    batch = voxelize_jnp(pts, G).astype(dtype)  # occupancy is exact in bf16
     sk = SkeletonArrays.chain(cfg.nkeypoints)
     params = model.init({"params": jax.random.PRNGKey(0),
                          "sample": jax.random.PRNGKey(1)},

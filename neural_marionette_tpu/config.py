@@ -147,6 +147,7 @@ class MarionetteConfig:
     debug_nans: int = 0
     profile_dir: str = ""  # capture a jax.profiler trace of early steps
     remat: int = 0  # rematerialize detector conv stacks (memory for FLOPs)
+    grad_accum: int = 1  # microbatches per step (activation-memory relief)
     num_workers: int = 4   # loader threads
     n_points: int = 4096   # fixed per-frame point count shipped to device
     platform: str = ""     # force a JAX platform ("cpu") before backend init

@@ -23,13 +23,14 @@ import random
 
 import numpy as np
 
+from scipy.spatial.transform import Rotation as R
+
 _MISSING = None
 try:
     import torch
     import trimesh
     from smplx import SMPL
     from aist_plusplus.loader import AISTDataset
-    from scipy.spatial.transform import Rotation as R
 except ImportError as e:  # pragma: no cover - raw-data toolchain optional
     _MISSING = e
 

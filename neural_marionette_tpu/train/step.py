@@ -32,16 +32,25 @@ def _constrain_batch(batch, mesh: Optional[Mesh]):
         batch, NamedSharding(mesh, batch_spec()))
 
 
-def _as_voxels(batch, cfg: MarionetteConfig):
+def _as_voxels(batch, cfg: MarionetteConfig, dtype=None):
     """Accept either voxel batches (B, T, G, G, G, 1) or raw point batches
     (B, T, N, 3) — points are scattered into the occupancy grid ON DEVICE
     (the reference voxelizes per frame on the host, dataset.py:79-86).
-    On TPU the Pallas one-hot-matmul kernel does the scatter."""
+    On TPU the Pallas one-hot-matmul kernel does the scatter.
+
+    ``dtype``: occupancy is binary, so the voxel tensor is EXACT in
+    bfloat16 — casting to the compute dtype here halves the largest
+    in-jit intermediate (8.4 GB at B=8 G=64 f32; it stays live through
+    the whole step for the BCE loss and the first-frame decoder bias).
+    """
     if batch.ndim == 4 and batch.shape[-1] == 3:
         if jax.default_backend() == "tpu":
             from ..ops.pallas import voxelize_pallas
-            return voxelize_pallas(batch, cfg.grid_size)
-        return voxelize_jnp(batch, cfg.grid_size)
+            batch = voxelize_pallas(batch, cfg.grid_size)
+        else:
+            batch = voxelize_jnp(batch, cfg.grid_size)
+    if dtype is not None and batch.dtype != dtype:
+        batch = batch.astype(dtype)
     return batch
 
 
@@ -70,23 +79,56 @@ def make_train_step(model: NeuralMarionette, cfg: MarionetteConfig,
     tx = make_optimizer(cfg)
     w = dict(weights)
 
+    accum = max(int(getattr(cfg, "grad_accum", 1)), 1)
+
     def step_fn(state: TrainState, batch,
                 skeleton: Optional[SkeletonArrays]):
-        batch = _as_voxels(_constrain_batch(batch, mesh), cfg)
         rng, sample_rng, gumbel_rng = jax.random.split(state.rng, 3)
 
-        def loss_fn(params):
-            out = model.apply(params, batch,
+        def loss_fn(params, micro, rngs):
+            micro = _as_voxels(micro, cfg, model.dtype)
+            out = model.apply(params, micro,
                               detector_active=detector_active,
                               learner_active=learner_active,
                               affinity_active=affinity_active,
                               skeleton=skeleton,
-                              rngs={"sample": sample_rng,
-                                    "gumbel": gumbel_rng})
-            return total_loss(out, w, batch.dtype)
+                              rngs=rngs)
+            return total_loss(out, w, micro.dtype)
 
-        (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        batch = _constrain_batch(batch, mesh)
+        if accum == 1:
+            (loss, metrics), grads = grad_fn(
+                state.params, batch,
+                {"sample": sample_rng, "gumbel": gumbel_rng})
+        else:
+            # gradient accumulation: scan over microbatches so only one
+            # microbatch's activations are live at a time — this is how
+            # B > 4 fits one chip at grid 64 (activation peaks, not
+            # params, bound the batch size)
+            B = batch.shape[0]
+            assert B % accum == 0, f"batch {B} % grad_accum {accum} != 0"
+            micros = batch.reshape((accum, B // accum) + batch.shape[1:])
+
+            def micro_step(carry, inp):
+                grads_acc, metrics_acc = carry
+                micro, key = inp
+                k1, k2 = jax.random.split(key)
+                (_, m), g = grad_fn(state.params, micro,
+                                    {"sample": k1, "gumbel": k2})
+                grads_acc = jax.tree.map(jnp.add, grads_acc, g)
+                metrics_acc = jax.tree.map(jnp.add, metrics_acc, m)
+                return (grads_acc, metrics_acc), None
+
+            keys = jax.random.split(sample_rng, accum)
+            k1, k2 = jax.random.split(keys[0])
+            (_, m0), g0 = grad_fn(state.params, micros[0],
+                                  {"sample": k1, "gumbel": k2})
+            (grads, metrics), _ = jax.lax.scan(
+                micro_step, (g0, m0), (micros[1:], keys[1:]))
+            inv = 1.0 / accum
+            grads = jax.tree.map(lambda g: g * inv, grads)
+            metrics = jax.tree.map(lambda v: v * inv, metrics)
         mask = make_update_mask(state.params, detector_active,
                                 learner_active, affinity_active)
         grads = jax.tree.map(lambda g, m: g * m, grads, mask)
@@ -109,7 +151,7 @@ def make_eval_step(model: NeuralMarionette, cfg: MarionetteConfig,
     w = dict(weights)
 
     def eval_fn(params, batch, skeleton, sample_rng):
-        batch = _as_voxels(_constrain_batch(batch, mesh), cfg)
+        batch = _as_voxels(_constrain_batch(batch, mesh), cfg, model.dtype)
         out = model.apply(params, batch,
                           detector_active=True,
                           learner_active=learner_active,
@@ -131,7 +173,7 @@ def make_generate_step(model: NeuralMarionette, cfg: MarionetteConfig,
                        mesh: Optional[Mesh] = None,
                        sample_num: int = 10):
     def gen_fn(params, batch, skeleton, sample_rng):
-        batch = _as_voxels(_constrain_batch(batch, mesh), cfg)
+        batch = _as_voxels(_constrain_batch(batch, mesh), cfg, model.dtype)
         return model.apply(params, batch, skeleton,
                            affinity_active=affinity_active,
                            sample_num=sample_num,

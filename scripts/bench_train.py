@@ -3,7 +3,7 @@
 Complements bench.py (inference north star) with the end-to-end training
 number recorded in BASELINE.md.
 
-Usage: python scripts/bench_train.py [B] [iters] [dtype]
+Usage: python scripts/bench_train.py [B] [iters] [dtype] [grad_accum]
 """
 import os
 import sys
@@ -28,8 +28,10 @@ def main():
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     dtype_name = sys.argv[3] if len(sys.argv) > 3 else "float32"
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    accum = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 
-    cfg = adjust_config(MarionetteConfig(dataset="aist")).replace(remat=1)
+    cfg = adjust_config(MarionetteConfig(dataset="aist")).replace(
+        remat=1, grad_accum=accum, compute_dtype=dtype_name)
     model = NeuralMarionette(cfg, dtype=dtype)
     g = np.random.default_rng(0)
     pts = jnp.asarray(g.uniform(-0.8, 0.8, size=(B, cfg.Ttot, 2048, 3)),
@@ -53,7 +55,8 @@ def main():
         # block_until_ready alone has produced bogus timings
         float(metrics["total_loss"])
     dt = (time.perf_counter() - t0) / iters
-    print(f"train step B={B} {dtype_name} (all losses, detector+learner): "
+    print(f"train step B={B} {dtype_name} accum={accum} "
+          f"(all losses, detector+learner): "
           f"{dt * 1000:.1f} ms/step -> {B / dt:.2f} seqs/sec")
 
 

@@ -146,3 +146,39 @@ def test_evaluate_dispatch():
     assert out["scores_log"] == pytest.approx(1.0)
     with pytest.raises(ValueError):
         evaluate("nope", None, {})
+
+
+# ------------------------------------------------- L0 preprocessors (pure)
+def test_prepare_aistpp_yaw_alignment():
+    """yaw_alignment must cancel exactly the yaw component of a SMPL
+    global orientation (reference prepare_aistpp root_aligns semantics)."""
+    from scipy.spatial.transform import Rotation as R
+    from neural_marionette_tpu.data.prepare_aistpp import yaw_alignment
+    rng = np.random.default_rng(0)
+    # pure yaw: the alignment cancels it exactly
+    for _ in range(5):
+        yaw = float(rng.uniform(-89, 89))  # xyz-euler of pure yaw is
+        # unambiguous only within (-90, 90) - same quirk as the reference
+        rot = R.from_euler("y", yaw, degrees=True)
+        align = yaw_alignment(rot.as_rotvec())
+        np.testing.assert_allclose(align @ rot.as_matrix(), np.eye(3),
+                                   atol=1e-9)
+    # mixed rotation: the alignment is a pure y-axis rotation cancelling
+    # the extracted xyz-euler yaw component
+    for _ in range(5):
+        euler = rng.uniform(-60, 60, size=3)
+        rot = R.from_euler("xyz", euler, degrees=True)
+        align = yaw_alignment(rot.as_rotvec())
+        expected = R.from_euler("y", euler[1], degrees=True).as_matrix().T
+        np.testing.assert_allclose(align, expected, atol=1e-9)
+        np.testing.assert_allclose(align @ align.T, np.eye(3), atol=1e-9)
+
+
+def test_prepare_dfaust_parse_subjects(tmp_path):
+    from neural_marionette_tpu.data.prepare_dfaust import parse_subjects_file
+    f = tmp_path / "subjects_and_sequences.txt"
+    f.write_text("50002 (male)\n  chicken_wings\n  hips\n"
+                 "50004 (female)\n  jumping_jacks\n\n")
+    out = parse_subjects_file(str(f))
+    assert out == {"50002": ("male", ["chicken_wings", "hips"]),
+                   "50004": ("female", ["jumping_jacks"])}

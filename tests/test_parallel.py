@@ -92,3 +92,21 @@ def test_same_seed_determinism():
         state, metrics = step(state, shard_batch(mesh, batch), sk)
         losses.append(float(metrics["total_loss"]))
     assert losses[0] == losses[1]
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_driver_contract():
+    """The exact call the round driver makes: import __graft_entry__ and
+    invoke dryrun_multichip(8) from a process whose JAX backend is NOT an
+    8-device CPU mesh (here: the conftest-forced single-...-8-dev cpu is
+    fine — the function must work regardless by re-exec'ing itself)."""
+    import subprocess, sys, os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # the driver gives no helpful env
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=1200)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "OK" in proc.stdout

@@ -173,3 +173,51 @@ def test_scheduler_phases():
     assert s2.learning_rate(0) == 1.0
     assert s2.learning_rate(2) == 0.25
     assert s2.learning_rate(4) == 0.1
+
+
+def test_grad_accum_matches_full_batch():
+    """With the detector-only phase (deterministic: affinity ver 3, no
+    sampling losses), grad accumulation over microbatches must produce
+    the same update as the full batch (all losses are batch means)."""
+    import jax
+    import jax.numpy as jnp
+    cfg = tiny_cfg(detector_start=0, learner_start=int(1e9),
+                   affinity_anneal=0)
+    model = NeuralMarionette(cfg)
+    g = np.random.default_rng(0)
+    pts = jnp.asarray(g.uniform(-0.8, 0.8, size=(4, cfg.Ttot, 128, 3)),
+                      dtype=jnp.float32)
+    from neural_marionette_tpu.ops import voxelize_jnp
+    batch = voxelize_jnp(pts, cfg.grid_size)
+    sk = SkeletonArrays.chain(cfg.nkeypoints)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "sample": jax.random.PRNGKey(1)},
+                        batch, detector_active=True, learner_active=False,
+                        skeleton=sk)
+    w = loss_weights(cfg)
+
+    outs = {}
+    for accum in (1, 2):
+        c = cfg.replace(grad_accum=accum)
+        state = create_train_state(c, params, jax.random.PRNGKey(7))
+        step = make_train_step(model, c, w, detector_active=True,
+                               learner_active=False, affinity_active=True,
+                               mesh=None, donate=False)
+        new_state, metrics = step(state, batch, sk)
+        outs[accum] = (new_state.params, float(metrics["total_loss"]))
+
+    assert outs[1][1] == pytest.approx(outs[2][1], rel=1e-5)
+    flat1 = jax.tree_util.tree_leaves(outs[1][0])
+    flat2 = jax.tree_util.tree_leaves(outs[2][0])
+    # Adam's update direction is discontinuous for near-zero gradients
+    # (update -> +-lr as v -> 0), so a handful of elements can flip on
+    # float-association noise between the two summation orders; require
+    # the overwhelming majority to match plus the exact loss match above.
+    total = mismatched = 0
+    for a, b in zip(flat1, flat2):
+        a, b = np.asarray(a), np.asarray(b)
+        bad = np.abs(a - b) > 5e-5 + 1e-2 * np.abs(b)
+        mismatched += int(bad.sum())
+        total += a.size
+    assert mismatched <= max(total // 1000, 3), \
+        f"{mismatched}/{total} param elements diverged"

@@ -42,10 +42,12 @@ def main():
                       dtype=jnp.float32)
     batch = voxelize_jnp(pts, G).astype(dtype)  # occupancy is exact in bf16
     sk = SkeletonArrays.chain(cfg.nkeypoints)
+    # init eagerly executes the forward op-by-op (no XLA liveness
+    # optimization) — use a tiny slice; param shapes are batch-independent
     params = model.init({"params": jax.random.PRNGKey(0),
                          "sample": jax.random.PRNGKey(1)},
-                        batch, detector_active=True, learner_active=True,
-                        skeleton=sk)
+                        batch[:1, :2], detector_active=True,
+                        learner_active=True, skeleton=sk)
 
     @jax.jit
     def encode_rollout(params, batch):

@@ -1,15 +1,15 @@
-"""Training-step throughput benchmark (full fwd+bwd+Adam, all losses).
+"""Compile-time HBM analysis of the train step (no execution needed).
 
-Complements bench.py (inference north star) with the end-to-end training
-number recorded in BASELINE.md.
+Usage: python scripts/memory_analysis.py [B] [grad_accum] [dtype]
 
-Usage: python scripts/bench_train.py [B] [iters] [dtype] [grad_accum]
+Prints XLA's temp/argument/output sizes for the jitted train step at the
+flagship AIST config — how the BASELINE.md memory rows are produced, and
+the first thing to run when a batch size OOMs (the v5e chip exposes
+~15.75G usable HBM; B=4 bf16 remat measures ~13.0G temp, so batch growth
+needs grad_accum microbatching).
 """
 import os
 import sys
-import time
-
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 def main():
     import jax
     import jax.numpy as jnp
+    import numpy as np
     from neural_marionette_tpu.config import MarionetteConfig, adjust_config
     from neural_marionette_tpu.models import NeuralMarionette, SkeletonArrays
     from neural_marionette_tpu.ops import voxelize_jnp
@@ -25,10 +26,9 @@ def main():
                                              make_train_step, loss_weights)
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    dtype_name = sys.argv[3] if len(sys.argv) > 3 else "float32"
+    accum = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    dtype_name = sys.argv[3] if len(sys.argv) > 3 else "bfloat16"
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
-    accum = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 
     cfg = adjust_config(MarionetteConfig(dataset="aist")).replace(
         remat=1, grad_accum=accum, compute_dtype=dtype_name)
@@ -47,19 +47,12 @@ def main():
     state = create_train_state(cfg, params, jax.random.PRNGKey(2))
     step = make_train_step(model, cfg, loss_weights(cfg), True, True, True,
                            mesh=None, donate=True)
-
-    state, metrics = step(state, batch, sk)
-    print("warmup loss:", float(metrics["total_loss"]))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state, batch, sk)
-        # host fetch each iter: under the tunneled axon runtime,
-        # block_until_ready alone has produced bogus timings
-        float(metrics["total_loss"])
-    dt = (time.perf_counter() - t0) / iters
-    print(f"train step B={B} {dtype_name} accum={accum} "
-          f"(all losses, detector+learner): "
-          f"{dt * 1000:.1f} ms/step -> {B / dt:.2f} seqs/sec")
+    ma = step.lower(state, batch, sk).compile().memory_analysis()
+    print(f"B={B} accum={accum} {dtype_name}: "
+          f"temp={ma.temp_size_in_bytes / 1e9:.2f}G "
+          f"args={ma.argument_size_in_bytes / 1e9:.2f}G "
+          f"out={ma.output_size_in_bytes / 1e9:.2f}G "
+          f"alias={ma.alias_size_in_bytes / 1e9:.2f}G")
 
 
 if __name__ == "__main__":

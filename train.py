@@ -99,9 +99,11 @@ def main():
         example = example[0]
     example_batch = jnp.asarray(example[None])
     sk_placeholder = SkeletonArrays.chain(cfg.nkeypoints)
+    # init executes the forward eagerly (no XLA liveness optimization);
+    # two frames suffice — param shapes don't depend on batch/T
     params = model.init({"params": jax.random.PRNGKey(cfg.seed),
                          "sample": jax.random.PRNGKey(cfg.seed + 1)},
-                        _to_voxels(example_batch, cfg),
+                        _to_voxels(example_batch[:, :2], cfg),
                         detector_active=True, learner_active=True,
                         skeleton=sk_placeholder)
     state = create_train_state(cfg, replicate(mesh, params),

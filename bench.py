@@ -28,7 +28,9 @@ def main():
     from neural_marionette_tpu.models import NeuralMarionette, SkeletonArrays
     from neural_marionette_tpu.ops import voxelize_jnp
 
-    B = int(os.environ.get("NM_BENCH_B", "4"))
+    # B=16 is the single-chip throughput sweet spot (measured: 26.1
+    # seqs/s at B=4, 42.7 at B=8, 46.6 at B=16, OOM at B=32 — BASELINE.md)
+    B = int(os.environ.get("NM_BENCH_B", "16"))
     iters = int(os.environ.get("NM_BENCH_ITERS", "20"))
     dtype_name = os.environ.get("NM_BENCH_DTYPE", "bfloat16")
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32

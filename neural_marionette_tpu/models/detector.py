@@ -42,20 +42,31 @@ class FeatureNet(nn.Module):
 
     Reference `_build_feature_net` (kypt_detector.py:264-272):
     Basic(k5, C/4) -> Pool/2 -> Res(C/2) -> Pool/2 -> HG(C/2) -> Res(C).
+
+    ``remat_stages`` checkpoints each block individually (class-level
+    nn.remat keeps module auto-names, so the parameter tree is
+    unchanged) — bounds the backward peak to one block's activations.
     """
     out_channels: int
     grid_size: int
     dtype: jnp.dtype = jnp.float32
+    remat_stages: bool = False
 
     @nn.compact
     def __call__(self, x):
         C = self.out_channels
-        x = Basic3DBlock(C // 4, 5, dtype=self.dtype)(x)
-        x = Pool3DBlock(2, dtype=self.dtype)(x)
-        x = Res3DBlock(C // 2, dtype=self.dtype)(x)
-        x = Pool3DBlock(2, dtype=self.dtype)(x)
-        x = Hourglass(C // 2, N=self.grid_size // 4, dtype=self.dtype)(x)
-        x = Res3DBlock(C, dtype=self.dtype)(x)
+        # class-level nn.remat renames children (Checkpoint<cls>_i), so
+        # names are pinned to the un-wrapped auto-names explicitly
+        wrap = nn.remat if self.remat_stages else (lambda cls: cls)
+        x = wrap(Basic3DBlock)(C // 4, 5, dtype=self.dtype,
+                               name="Basic3DBlock_0")(x)
+        x = wrap(Pool3DBlock)(2, dtype=self.dtype, name="Pool3DBlock_0")(x)
+        x = wrap(Res3DBlock)(C // 2, dtype=self.dtype,
+                             name="Res3DBlock_0")(x)
+        x = wrap(Pool3DBlock)(2, dtype=self.dtype, name="Pool3DBlock_1")(x)
+        x = wrap(Hourglass)(C // 2, N=self.grid_size // 4,
+                            dtype=self.dtype, name="Hourglass_0")(x)
+        x = wrap(Res3DBlock)(C, dtype=self.dtype, name="Res3DBlock_1")(x)
         return x
 
 
@@ -98,9 +109,14 @@ class VoxToKyptNet(nn.Module):
         ci = cfg.const_intensity
         # jax.checkpoint on the conv pyramids trades recompute for HBM so
         # larger B*T fits during training (cfg.remat)
+        # remat=1: checkpoint whole conv pyramids (best at small batch);
+        # remat=2: additionally checkpoint each stage (bounds the backward
+        # peak to one stage — measured 16.2G vs 26G+ for B=8 accum=1, at
+        # the cost of ~2G extra at B=4; see BASELINE.md)
         feature_cls = nn.remat(FeatureNet) if cfg.remat else FeatureNet
         self.extract_features = feature_cls(self.feat_dim, cfg.grid_size,
-                                            dtype=self.dtype)
+                                            dtype=self.dtype,
+                                            remat_stages=cfg.remat >= 2)
         self.extract_heatmaps = HeatmapHead(
             cfg.nkeypoints, act=("leakyrelu" if ci else "softplus"),
             dtype=self.dtype)
@@ -113,7 +129,8 @@ class VoxToKyptNet(nn.Module):
                 (self.heat_grid,) * 3 + (cfg.nkeypoints,))
         elif ci in (2, 3, 4):
             self.extract_st_features = feature_cls(
-                self.feat_dim * 2, cfg.grid_size, dtype=self.dtype)
+                self.feat_dim * 2, cfg.grid_size, dtype=self.dtype,
+                remat_stages=cfg.remat >= 2)
             self.extract_st_heatmaps = HeatmapHead(
                 cfg.nkeypoints, act="leakyrelu", dtype=self.dtype)
         if ci:
@@ -195,9 +212,18 @@ class VoxToKyptNet(nn.Module):
 class VoxelDecoder(nn.Module):
     """Feature map at grid/4 -> occupancy logits at grid via 2x trilinear
     upsample + conv stages (reference build_voxel_decoder,
-    kypt_detector.py:417-460)."""
+    kypt_detector.py:417-460).
+
+    ``remat_stages``: checkpoint each conv stage individually.  The
+    whole-decoder remat alone re-materialises EVERY stage's activations
+    simultaneously in its backward (the measured peak driver at grid 64);
+    nested per-stage remat bounds the backward peak to one stage's
+    internals plus the stage boundaries.  Parameter names are pinned
+    explicitly so the tree is identical either way.
+    """
     feat_dim: int = 128
     dtype: jnp.dtype = jnp.float32
+    remat_stages: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -205,21 +231,26 @@ class VoxelDecoder(nn.Module):
         # as MXU contractions — jax.image.resize gathers are ~8x slower
         from ..ops.upsample import upsample2_trilinear as upsample2
 
-        def conv_gn_lrelu(v, C):
+        def stage(mdl, v, C, i):
             v = Conv(C, (3, 3, 3), padding="SAME",
                      kernel_init=PLAIN_CONV_INIT, bias_init=zeros_init(),
-                     dtype=self.dtype)(v)
-            v = group_norm(C)(v)
+                     dtype=mdl.dtype, name=f"Conv_{i}")(v)
+            v = nn.GroupNorm(num_groups=max(C // 16, 1), epsilon=1e-5,
+                             name=f"GroupNorm_{i}")(v)
             return leaky_relu(v)
 
+        if self.remat_stages:
+            stage = nn.remat(stage, static_argnums=(2, 3))
+
         x = upsample2(x)
-        x = conv_gn_lrelu(x, self.feat_dim // 2)
-        x = conv_gn_lrelu(x, self.feat_dim // 2)
+        x = stage(self, x, self.feat_dim // 2, 0)
+        x = stage(self, x, self.feat_dim // 2, 1)
         x = upsample2(x)
-        x = conv_gn_lrelu(x, self.feat_dim // 4)
-        x = conv_gn_lrelu(x, self.feat_dim // 4)
+        x = stage(self, x, self.feat_dim // 4, 2)
+        x = stage(self, x, self.feat_dim // 4, 3)
         return nn.Conv(1, (1, 1, 1), kernel_init=PLAIN_CONV_INIT,
-                       bias_init=zeros_init(), dtype=self.dtype)(x)
+                       bias_init=zeros_init(), dtype=self.dtype,
+                       name="Conv_4")(x)
 
 
 class KyptToVoxNet(nn.Module):
@@ -262,7 +293,8 @@ class KyptToVoxNet(nn.Module):
                     bias_init=zeros_init(), dtype=self.dtype)(combined)
         x = leaky_relu(x)
         decoder_cls = nn.remat(VoxelDecoder) if cfg.remat else VoxelDecoder
-        logits = decoder_cls(feat_dim, dtype=self.dtype)(x)
+        logits = decoder_cls(feat_dim, dtype=self.dtype,
+                             remat_stages=cfg.remat >= 2)(x)
 
         ff0 = jnp.broadcast_to(first_frame[:, None],
                                (B, T) + first_frame.shape[1:])

@@ -102,30 +102,32 @@ def make_train_step(model: NeuralMarionette, cfg: MarionetteConfig,
                 state.params, batch,
                 {"sample": sample_rng, "gumbel": gumbel_rng})
         else:
-            # gradient accumulation: scan over microbatches so only one
+            # gradient accumulation: sequential microbatches so only one
             # microbatch's activations are live at a time — this is how
             # B > 4 fits one chip at grid 64 (activation peaks, not
-            # params, bound the batch size)
+            # params, bound the batch size).  Unrolled rather than
+            # lax.scan: XLA double-buffers scan-body temporaries (~+5G
+            # measured at grid 64), while the unrolled chain reuses them.
             B = batch.shape[0]
             assert B % accum == 0, f"batch {B} % grad_accum {accum} != 0"
             micros = batch.reshape((accum, B // accum) + batch.shape[1:])
-
-            def micro_step(carry, inp):
-                grads_acc, metrics_acc = carry
-                micro, key = inp
-                k1, k2 = jax.random.split(key)
+            keys = jax.random.split(sample_rng, accum)
+            grads = metrics = None
+            micro = micros[0]
+            for i in range(accum):
+                k1, k2 = jax.random.split(keys[i])
                 (_, m), g = grad_fn(state.params, micro,
                                     {"sample": k1, "gumbel": k2})
-                grads_acc = jax.tree.map(jnp.add, grads_acc, g)
-                metrics_acc = jax.tree.map(jnp.add, metrics_acc, m)
-                return (grads_acc, metrics_acc), None
-
-            keys = jax.random.split(sample_rng, accum)
-            k1, k2 = jax.random.split(keys[0])
-            (_, m0), g0 = grad_fn(state.params, micros[0],
-                                  {"sample": k1, "gumbel": k2})
-            (grads, metrics), _ = jax.lax.scan(
-                micro_step, (g0, m0), (micros[1:], keys[1:]))
+                grads = g if grads is None else jax.tree.map(jnp.add,
+                                                             grads, g)
+                metrics = m if metrics is None else jax.tree.map(
+                    jnp.add, metrics, m)
+                if i + 1 < accum:
+                    # data-dependence barrier: without it XLA freely
+                    # interleaves the microbatch graphs and their
+                    # activation peaks overlap (defeating accumulation)
+                    grads, micro = jax.lax.optimization_barrier(
+                        (grads, micros[i + 1]))
             inv = 1.0 / accum
             grads = jax.tree.map(lambda g: g * inv, grads)
             metrics = jax.tree.map(lambda v: v * inv, metrics)

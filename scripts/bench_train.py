@@ -29,9 +29,10 @@ def main():
     dtype_name = sys.argv[3] if len(sys.argv) > 3 else "float32"
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     accum = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    remat = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 
     cfg = adjust_config(MarionetteConfig(dataset="aist")).replace(
-        remat=1, grad_accum=accum, compute_dtype=dtype_name)
+        remat=remat, grad_accum=accum, compute_dtype=dtype_name)
     model = NeuralMarionette(cfg, dtype=dtype)
     g = np.random.default_rng(0)
     pts = jnp.asarray(g.uniform(-0.8, 0.8, size=(B, cfg.Ttot, 2048, 3)),

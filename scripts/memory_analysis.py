@@ -28,10 +28,11 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     accum = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     dtype_name = sys.argv[3] if len(sys.argv) > 3 else "bfloat16"
+    remat = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
     cfg = adjust_config(MarionetteConfig(dataset="aist")).replace(
-        remat=1, grad_accum=accum, compute_dtype=dtype_name)
+        remat=remat, grad_accum=accum, compute_dtype=dtype_name)
     model = NeuralMarionette(cfg, dtype=dtype)
     g = np.random.default_rng(0)
     pts = jnp.asarray(g.uniform(-0.8, 0.8, size=(B, cfg.Ttot, 2048, 3)),
@@ -48,7 +49,7 @@ def main():
     step = make_train_step(model, cfg, loss_weights(cfg), True, True, True,
                            mesh=None, donate=True)
     ma = step.lower(state, batch, sk).compile().memory_analysis()
-    print(f"B={B} accum={accum} {dtype_name}: "
+    print(f"B={B} accum={accum} {dtype_name} remat={remat}: "
           f"temp={ma.temp_size_in_bytes / 1e9:.2f}G "
           f"args={ma.argument_size_in_bytes / 1e9:.2f}G "
           f"out={ma.output_size_in_bytes / 1e9:.2f}G "

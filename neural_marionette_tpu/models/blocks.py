@@ -193,6 +193,9 @@ def _pallas_conv_applicable(mod: "Conv", x) -> bool:
     return (x.ndim == 5
             and len(k) == 3 and len(set(k)) == 1 and k[0] % 2 == 1
             and k[0] >= 3
+            and x.shape[-1] >= 32  # HBM/VMEM tile-pads channels to 128
+            # lanes: small-Cin convs (the k5 stem, Cin=4) blow the
+            # budget 32x and stay on XLA
             and strides in (1, (1, 1, 1))
             and mod.padding == "SAME"
             and mod.feature_group_count == 1

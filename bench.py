@@ -68,20 +68,42 @@ def main():
             jnp.sum(out["recon"])
 
     # warmup / compile
-    jax.block_until_ready(encode_rollout(params, batch))
+    compiled = encode_rollout.lower(params, batch).compile()
+    jax.block_until_ready(compiled(params, batch))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = encode_rollout(params, batch)
+        out = compiled(params, batch)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
 
     seqs_per_sec = B / dt
+
+    # MFU from XLA's own cost analysis (flops of the compiled module)
+    # against the chip's bf16 peak (v5e: ~197 TF/s; override with
+    # NM_PEAK_TFLOPS).  "vs CPU reference" flatters; % of chip is the
+    # honest yardstick (VERDICT r2 #8).
+    mfu = None
+    flops = None
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        peak = float(os.environ.get("NM_PEAK_TFLOPS", "197")) * 1e12
+        if flops > 0:
+            mfu = round(flops / dt / peak, 4)
+    except Exception:
+        pass
+
     ref = float(os.environ.get("NM_REF_SEQS_PER_SEC", REF_SEQS_PER_SEC))
     print(json.dumps({
         "metric": "voxel seqs/sec/chip (64^3 encode + VRNN rollout)",
         "value": round(seqs_per_sec, 3),
         "unit": "seqs/sec/chip",
         "vs_baseline": round(seqs_per_sec / ref, 2) if ref > 0 else None,
+        "B": B, "dtype": dtype_name, "iters": iters,
+        "mfu": mfu,
+        "flops_per_iter": flops,
     }))
 
 

@@ -21,7 +21,8 @@ from ..config import MarionetteConfig, load_reference_pickle
 from ..data.pipeline import crop_sequence, episodic_normalization
 from ..models import NeuralMarionette, SkeletonArrays
 from ..ops import voxelize_np
-from ..skeleton import Skeleton, extract_skeleton
+from ..skeleton import Skeleton
+from ..skeleton_device import extract_skeleton_host_api
 
 
 class DemoContext(NamedTuple):
@@ -123,5 +124,7 @@ def detect_and_extract_skeleton(ctx: DemoContext, vox_clip: np.ndarray):
                       m.kypt_detector(v, affinity_active=affinity_active))
     skeleton = ctx.skeleton
     if skeleton is None:
-        skeleton = extract_skeleton(np.asarray(det["affinity"]))
+        # on-device extraction (skeleton_device.py); host NumPy version
+        # remains the differential-test oracle
+        skeleton = extract_skeleton_host_api(det["affinity"])
     return det, skeleton

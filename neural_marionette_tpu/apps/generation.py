@@ -76,7 +76,7 @@ def save_outputs(result: dict, out_dir: str, vox_cond=None,
 
 
 def render_generation(gen_voxels: np.ndarray, out_dir: str,
-                      Tcond: int = 5) -> None:
+                      Tcond: int = 5, prefix: str = "gen_result") -> None:
     """Surfel-"plate" renders with estimated normals, the reference's
     generation output inventory (vis_generation.py:155-192):
     ``gen_result_imgs_<s>/%02d.png`` per frame + ``gen_result_<s>.gif``
@@ -85,9 +85,9 @@ def render_generation(gen_voxels: np.ndarray, out_dir: str,
     from ..viz import raster as R
 
     G = gen_voxels.shape[2]
-    cam = R.Camera.look_at(**R.DEFAULT_CAM)
+    cam = R.default_camera()  # the reference's pinhole camera JSON
     for s in range(gen_voxels.shape[0]):
-        img_dir = os.path.join(out_dir, f"gen_result_imgs_{s}")
+        img_dir = os.path.join(out_dir, f"{prefix}_imgs_{s}")
         os.makedirs(img_dir, exist_ok=True)
         frames = []
         # clip-wide z ramp (the reference derives it from the clip)
@@ -114,4 +114,4 @@ def render_generation(gen_voxels: np.ndarray, out_dir: str,
                                    radius=0.03)
             R.save_png(img, os.path.join(img_dir, f"{t:02d}.png"))
             frames.append(img)
-        R.save_gif(frames, os.path.join(out_dir, f"gen_result_{s}.gif"))
+        R.save_gif(frames, os.path.join(out_dir, f"{prefix}_{s}.gif"))

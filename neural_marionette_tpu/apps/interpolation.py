@@ -52,9 +52,11 @@ def save_outputs(result: dict, out_dir: str, vox_clip=None) -> None:
             result["interp_voxels"])
     np.save(os.path.join(out_dir, "keypoints.npy"), result["keypoints"])
     # surfel-plate render set, same presentation as the reference's
-    # interpolation demo (vis_interpolation.py:138-198)
+    # interpolation demo (vis_interpolation.py:138-198), under the
+    # reference's interpolation artifact names (interp_result_*.gif)
     from .generation import render_generation
-    render_generation(result["interp_voxels"][None], out_dir, Tcond=0)
+    render_generation(result["interp_voxels"][None], out_dir, Tcond=0,
+                      prefix="interp_result")
     from ..viz.visualize import vis_keypoints, vis_recon
     iv = result["interp_voxels"][None]
     vis_keypoints(iv, result["keypoints"][None], logger_path=out_dir,

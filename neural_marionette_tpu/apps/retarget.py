@@ -45,20 +45,30 @@ def load_obj_mesh(path: str) -> dict:
             elif p[0] == "mtllib":
                 mtllib = p[1]
             elif p[0] == "f":
-                idx = [q.split("/") for q in p[1:4]]
-                faces.append([int(q[0]) - 1 for q in idx])
-                if all(len(q) > 1 and q[1] for q in idx):
-                    face_uvs.append([int(q[1]) - 1 for q in idx])
+                # fan-triangulate n-gon faces; track UVs per emitted
+                # triangle (None when a corner lacks a vt index) so one
+                # UV-less face doesn't disable texturing for the mesh
+                idx = [q.split("/") for q in p[1:]]
+                for a, b in zip(range(1, len(idx) - 1),
+                                range(2, len(idx))):
+                    tri = [idx[0], idx[a], idx[b]]
+                    faces.append([int(q[0]) - 1 for q in tri])
+                    if all(len(q) > 1 and q[1] for q in tri):
+                        face_uvs.append([int(q[1]) - 1 for q in tri])
+                    else:
+                        face_uvs.append(None)
     verts = np.asarray(verts, np.float64)
     out = dict(verts=verts, faces=None, uv=None, texture=None)
     if faces:
         out["faces"] = np.asarray(faces, np.int64)
     # per-vertex UV: first UV index seen per vertex
-    if face_uvs and len(face_uvs) == len(faces) and uvs:
+    uv_pairs = [(f_v, f_t) for f_v, f_t in zip(faces, face_uvs)
+                if f_t is not None]
+    if uv_pairs and uvs:
         uv_arr = np.asarray(uvs, np.float64)
         per_vert = np.zeros((len(verts), 2))
         seen = np.zeros(len(verts), bool)
-        for f_v, f_t in zip(faces, face_uvs):
+        for f_v, f_t in uv_pairs:
             for v_i, t_i in zip(f_v, f_t):
                 if not seen[v_i]:
                     per_vert[v_i] = uv_arr[t_i]
@@ -183,7 +193,7 @@ def save_outputs(out: dict, out_dir: str, source_vox=None,
     np.save(os.path.join(out_dir, "parents.npy"), out["skeleton"].parents)
 
     from ..viz import raster as R
-    cam = R.Camera.look_at(**R.DEFAULT_CAM)
+    cam = R.default_camera()  # the reference's pinhole camera JSON
     skeleton = out["skeleton"]
     parents = skeleton.parents
     src_kp = out["source_keypoints"]  # (T, K, 4)

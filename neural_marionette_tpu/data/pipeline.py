@@ -109,6 +109,12 @@ def window_from_sequence(x: np.ndarray, T: int, sample_rate: int,
     ``.expand`` on an ndarray and a mis-axed ``transpose``; this is the
     repaired semantics).  Joints are NOT rotated — the reference doesn't
     rotate them either.
+
+    The window is bbox-anchored to [-1,1]^3 (not origin-centered), so
+    rotating about the origin can push points outside the grid where the
+    voxelizer would silently drop them; we re-run episodic_normalization
+    after the rotation (joints co-normalized by the same bbox transform)
+    so no geometry is lost.
     """
     if x.shape[0] < T * sample_rate:
         start = 0
@@ -127,6 +133,11 @@ def window_from_sequence(x: np.ndarray, T: int, sample_rate: int,
     if align_rots is not None:
         r = align_rots[min(start, len(align_rots) - 1)]  # (3, 3)
         x = np.einsum("ij,tnj->tni", r, x)
+        # renormalize so the rotated window stays inside [-1,1]^3
+        if joints is not None:
+            x, joints = episodic_normalization(x, scale=scale, joints=joints)
+        else:
+            x = episodic_normalization(x, scale=scale)
     if joints is not None:
         return x, joints
     return x

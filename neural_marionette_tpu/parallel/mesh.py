@@ -55,9 +55,28 @@ def replicated_spec() -> P:
     return P()
 
 
+def check_batch_shape(mesh: Mesh, batch) -> None:
+    """Guard: the (B, T) leading axes must divide the (data, model) mesh
+    dims or XLA raises an opaque sharding error deep in compile.  Demo
+    windows can be any T (e.g. 21), so fail loudly with the fix."""
+    data = mesh.shape[DATA_AXIS]
+    model = mesh.shape[MODEL_AXIS]
+    B, T = batch.shape[0], batch.shape[1]
+    if B % data != 0:
+        raise ValueError(
+            f"batch B={B} not divisible by mesh data={data}; pad the "
+            f"batch or choose a mesh with data dividing B")
+    if T % model != 0:
+        raise ValueError(
+            f"window T={T} not divisible by mesh model={model} (frame "
+            f"sequence-parallel axis); use model=1, pick T divisible by "
+            f"model, or shard this batch with data_only_spec()")
+
+
 def shard_batch(mesh: Mesh, batch):
     """Place a host batch onto the mesh: (B, T, ...) -> B over data,
     T over model."""
+    check_batch_shape(mesh, batch)
     sharding = NamedSharding(mesh, batch_spec())
     return jax.device_put(batch, sharding)
 

@@ -260,3 +260,19 @@ def extract_skeleton_device(affinity) -> DeviceSkeleton:
         priority_indices=priority_indices.astype(jnp.int32),
         parents=parents,
     )
+
+
+def extract_skeleton_host_api(affinity):
+    """Product-path entry: run the jitted device extraction and return a
+    host :class:`~neural_marionette_tpu.skeleton.Skeleton` (same NamedTuple
+    the checkpoint layer and demos consume).  The pure-NumPy
+    ``skeleton.extract_skeleton`` remains the differential-test oracle
+    (tests/test_skeleton.py)."""
+    import numpy as np
+    from .skeleton import Skeleton
+
+    dsk = jax.jit(extract_skeleton_device)(jnp.asarray(affinity))
+    return Skeleton(A=np.asarray(dsk.A),
+                    priority_values=np.asarray(dsk.priority_values),
+                    priority_indices=np.asarray(dsk.priority_indices),
+                    parents=np.asarray(dsk.parents))

@@ -20,6 +20,7 @@ not a TPU workload.
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -32,6 +33,8 @@ class Camera(NamedTuple):
     f: float           # focal length in pixels
     W: int
     H: int
+    cx: Optional[float] = None   # principal point (defaults to W/2, H/2)
+    cy: Optional[float] = None
 
     @classmethod
     def look_at(cls, eye, center=(0.0, 0.0, 0.0), up=(0.0, 1.0, 0.0),
@@ -46,16 +49,62 @@ class Camera(NamedTuple):
         f = 0.5 * W / np.tan(np.deg2rad(fov_deg) / 2)
         return cls(eye=eye, R=R, f=f, W=W, H=H)
 
+    @classmethod
+    def from_o3d_json(cls, path: str):
+        """Open3D ``PinholeCameraParameters`` JSON -> Camera.
+
+        This is what every reference demo renders through
+        (``data/demo/source/source.json``, used at reference
+        vis_generation.py:171-177 and vis_retarget.py:399-557).  Open3D
+        stores the 4x4 world->camera extrinsic COLUMN-major with camera
+        axes (x right, y down, z forward); ours are (right, up, fwd) with
+        y up — so the extrinsic's y row is negated and
+        ``eye = -E[:3,:3]^T @ E[:3,3]``.
+        """
+        import json as _json
+        with open(path) as fh:
+            d = _json.load(fh)
+        E = np.asarray(d["extrinsic"], np.float64).reshape(4, 4).T
+        K = np.asarray(d["intrinsic"]["intrinsic_matrix"],
+                       np.float64).reshape(3, 3).T
+        Re, t = E[:3, :3], E[:3, 3]
+        eye = -Re.T @ t
+        R = np.stack([Re[0], -Re[1], Re[2]])
+        return cls(eye=eye, R=R, f=float(K[0, 0]),
+                   W=int(d["intrinsic"]["width"]),
+                   H=int(d["intrinsic"]["height"]),
+                   cx=float(K[0, 2]), cy=float(K[1, 2]))
+
     def project(self, pts: np.ndarray):
         """(N, 3) world -> (u, v, depth); u/v in pixels."""
+        cx = self.W / 2 if self.cx is None else self.cx
+        cy = self.H / 2 if self.cy is None else self.cy
         p = (pts - self.eye) @ self.R.T
         z = np.maximum(p[:, 2], 1e-6)
-        u = self.W / 2 + self.f * p[:, 0] / z
-        v = self.H / 2 - self.f * p[:, 1] / z
+        u = cx + self.f * p[:, 0] / z
+        v = cy - self.f * p[:, 1] / z
         return u, v, z
 
 
 DEFAULT_CAM = dict(eye=(1.6, 1.2, 2.2), center=(0.0, 0.0, 0.0))
+
+# vendored copy of the reference's demo camera (plain data; provenance:
+# /root/reference/data/demo/source/source.json — same path layout)
+REFERENCE_CAMERA_JSON = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "data", "demo", "source",
+    "source.json")
+
+
+def default_camera(json_path: Optional[str] = None) -> Camera:
+    """The demos' default view: the reference's pinhole camera when its
+    JSON is available (vendored or pointed at via ``json_path`` /
+    ``NM_CAMERA_JSON``), else the legacy look_at fallback."""
+    path = json_path or os.environ.get("NM_CAMERA_JSON",
+                                       REFERENCE_CAMERA_JSON)
+    if path and os.path.exists(path):
+        return Camera.from_o3d_json(path)
+    return Camera.look_at(**DEFAULT_CAM)
 
 
 # ------------------------------------------------------------- splatting

@@ -24,6 +24,31 @@ def _fig_to_array(fig) -> np.ndarray:
     return buf.copy()
 
 
+def _draw_arrow3d(ax, p0, p1, color="g", alpha=1.0, lw=1.7):
+    """Directed 3D arrow, the reference's Arrow3D
+    (utils/vis_utils.py:7-16): a FancyArrowPatch whose endpoints are
+    projected through the axes' 3D transform at draw time."""
+    from matplotlib.patches import FancyArrowPatch
+    from mpl_toolkits.mplot3d import proj3d
+
+    class _Arrow3D(FancyArrowPatch):
+        def __init__(self, verts, **kw):
+            super().__init__((0, 0), (0, 0), **kw)
+            self._verts3d = verts
+
+        def do_3d_projection(self, renderer=None):
+            xs3d, ys3d, zs3d = self._verts3d
+            xs, ys, zs = proj3d.proj_transform(xs3d, ys3d, zs3d,
+                                               self.axes.M)
+            self.set_positions((xs[0], ys[0]), (xs[1], ys[1]))
+            return min(zs)
+
+    ax.add_artist(_Arrow3D(([p0[0], p1[0]], [p0[1], p1[1]],
+                            [p0[2], p1[2]]),
+                           mutation_scale=10, lw=lw, arrowstyle="-|>",
+                           color=color, alpha=float(np.clip(alpha, 0, 1))))
+
+
 def _scatter_vox(ax, vox, color="gray", alpha=0.2):
     """vox: (G, G, G) binary occupancy, channels squeezed."""
     xs, ys, zs = np.nonzero(vox)
@@ -55,21 +80,23 @@ def vis_keypoints(vox, keypoints, logger_path: Optional[str] = None,
     cmap = plt.get_cmap("tab20")
     colors = [cmap(k % 20) for k in range(K)]
 
-    edges = []
+    # edge sets per mode (reference vis/visualize.py:74-89):
+    # 'affinity' -> per-keypoint top-nneighbor DIRECTED arrows, alpha from
+    # the keypoint's intensity; 'A' -> undirected lines, alpha = A[i, j].
+    infl = None
+    A = None
     if affinity is not None:
         aff = np.asarray(affinity)
         if mode == "affinity":
             infl = aff[..., 0].max(axis=0) if aff.ndim == 4 else aff
-            for i in range(K):
-                for j in range(K):
-                    if infl[i, j] > affinity_threshold:
-                        edges.append((i, j))
         else:  # adjacency matrix 'A'
             A = aff if aff.ndim == 2 else aff[..., 0]
-            for i in range(K):
-                for j in range(i + 1, K):
-                    if A[i, j] > 0:
-                        edges.append((i, j))
+    nneighbor = 2
+    arrow_targets = None
+    if infl is not None:
+        # top-nneighbor per row, descending (reference argsort()[::-1])
+        arrow_targets = np.argsort(-infl, axis=-1, kind="stable")[
+            :, :nneighbor]
 
     videos = []
     for b in range(n):
@@ -79,14 +106,31 @@ def vis_keypoints(vox, keypoints, logger_path: Optional[str] = None,
             ax = fig.add_subplot(111, projection="3d")
             color = "gray" if Tcond is None or t < Tcond else "lightblue"
             _scatter_vox(ax, vox[b, t], color=color)
+            alphas = np.clip(kp[b, t, :, 3], 0, 1)
+            max_alpha = alphas.max() + 1e-5
             for k in range(K):
                 x, y, z, inten = kp[b, t, k]
                 ax.scatter([x], [z], [y], s=40, c=[colors[k]],
                            alpha=float(np.clip(inten, 0.05, 1.0)))
-            for i, j in edges:
-                pi, pj = kp[b, t, i], kp[b, t, j]
-                ax.plot([pi[0], pj[0]], [pi[2], pj[2]], [pi[1], pj[1]],
-                        c="red", alpha=0.5, linewidth=1)
+            if arrow_targets is not None:
+                # directed per-neighbor arrows, per-keypoint alpha
+                # (reference vis/visualize.py:74-85)
+                for k in range(K):
+                    for j in arrow_targets[k]:
+                        pi, pj = kp[b, t, k], kp[b, t, j]
+                        _draw_arrow3d(ax, (pi[0], pi[2], pi[1]),
+                                      (pj[0], pj[2], pj[1]),
+                                      alpha=alphas[k] / max_alpha)
+            elif A is not None:
+                for i in range(K):
+                    for j in range(i + 1, K):
+                        if A[i, j] <= 0:
+                            continue
+                        pi, pj = kp[b, t, i], kp[b, t, j]
+                        ax.plot([pi[0], pj[0]], [pi[2], pj[2]],
+                                [pi[1], pj[1]], c="green",
+                                alpha=float(np.clip(A[i, j], 0, 1)),
+                                linewidth=2.5)
             frames.append(_fig_to_array(fig))
             plt.close(fig)
         videos.append(np.stack(frames))

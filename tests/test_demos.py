@@ -75,6 +75,26 @@ def test_interpolation_demo(ctx, clip, tmp_path):
                         result["keypoints"][:, :, -1].shape))
     save_outputs(result, str(tmp_path / "interp"), vox_clip=vox)
     assert os.path.exists(tmp_path / "interp" / "interp_voxels.npy")
+    # reference interpolation artifact naming (not generation-named)
+    assert os.path.exists(tmp_path / "interp" / "interp_result_0.gif")
+
+
+def test_demos_use_reference_camera():
+    """All demo renders share the reference's PinholeCameraParameters
+    (vendored data/demo/source/source.json; reference
+    vis_generation.py:171-177, vis_retarget.py:399-557)."""
+    from neural_marionette_tpu.viz import raster as R
+    cam = R.default_camera()
+    assert (cam.W, cam.H) == (1025, 958)
+    assert cam.f == pytest.approx(829.65233682549228)
+    assert (cam.cx, cam.cy) == (512.0, 478.5)
+    np.testing.assert_allclose(
+        cam.eye, [-0.5546303168997937, -0.0035468143869429314,
+                  3.3230607082645185], atol=1e-12)
+    # everything in the unit cube projects in front of the camera
+    pts = np.random.default_rng(0).uniform(-1, 1, (256, 3))
+    _, _, z = cam.project(pts)
+    assert (z > 0).all()
 
 
 def test_retarget_demo(ctx, clip, tmp_path):

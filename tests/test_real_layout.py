@@ -99,8 +99,14 @@ def test_aist_align_root_per_window_rotation(aist_root):
                                     False, epoch, random.Random(cfg.seed))
         rel = ds_rot.seq_path[1]
         r = np.load(os.path.join(ds_rot.align_root_dir, rel))[start]
-        expected = np.einsum("ij,tnj->tni", r, plain)
+        # rotation about the origin, then re-normalization so the rotated
+        # window stays inside [-1,1]^3 (pipeline.window_from_sequence)
+        from neural_marionette_tpu.data.pipeline import (
+            episodic_normalization)
+        expected = episodic_normalization(
+            np.einsum("ij,tnj->tni", r, plain))
         np.testing.assert_allclose(rot, expected, atol=1e-6)
+        assert np.abs(rot).max() <= 1.0 + 1e-5  # nothing leaves the grid
         if epoch == 1:
             assert start != 0  # the per-window (not frame-0) matrix was used
 

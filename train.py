@@ -52,7 +52,8 @@ def main():
     from neural_marionette_tpu.eval import evaluate
     from neural_marionette_tpu.models import NeuralMarionette, SkeletonArrays
     from neural_marionette_tpu.parallel import make_mesh, replicate
-    from neural_marionette_tpu.skeleton import extract_skeleton
+    from neural_marionette_tpu.skeleton_device import (
+        extract_skeleton_host_api as extract_skeleton)
     from neural_marionette_tpu.train import (
         LossScheduler, MetricLogger, create_train_state, make_eval_step,
         make_generate_step, make_train_step, set_learning_rate)
@@ -175,7 +176,9 @@ def main():
             aff = model.apply(state.params,
                               method=lambda m: m.kypt_detector.get_affinity(),
                               rngs={"gumbel": jax.random.PRNGKey(cfg.seed)})
-            skeleton = extract_skeleton(np.asarray(aff))
+            # on-device extraction (skeleton_device.py jit FW); the host
+            # NumPy version stays as the test oracle
+            skeleton = extract_skeleton(aff)
             print(f"{COLORS.WARNING}skeleton extracted: parents="
                   f"{skeleton.parents.tolist()}{COLORS.ENDC}")
         sk_arrays = (SkeletonArrays.from_skeleton(skeleton)

@@ -49,7 +49,8 @@ def main():
 
     result = run_generation(ctx, vox, Tcond=args.Tcond, Tgen=args.Tgen,
                             sample_num=args.sample_num, seed=args.seed)
-    save_outputs(result, args.out_dir, vox_cond=vox[:args.Tcond])
+    save_outputs(result, args.out_dir, vox_cond=vox[:args.Tcond],
+                 Tcond=args.Tcond)
     print(f"wrote {args.sample_num} generated motions to {args.out_dir}")
 
 

@@ -147,10 +147,18 @@ class MarionetteConfig:
     debug_nans: int = 0
     profile_dir: str = ""  # capture a jax.profiler trace of early steps
     remat: int = 0  # rematerialize detector conv stacks (memory for FLOPs)
+    # strip-packed decoder convs (ops/stripconv.py): -1 = auto (TPU
+    # backend only — CPU XLA compiles the strip form pathologically
+    # slowly and its conv is already fine there), 0 = off, 1 = force on
+    strip_decoder: int = -1
     grad_accum: int = 1  # microbatches per step (activation-memory relief)
     num_workers: int = 4   # loader threads
     n_points: int = 4096   # fixed per-frame point count shipped to device
     platform: str = ""     # force a JAX platform ("cpu") before backend init
+    # ----- multi-host runtime (SURVEY §5: per-host loading over DCN) -----
+    coordinator_address: str = ""  # "host:port" enables jax.distributed
+    num_processes: int = 0         # total processes (0 => single-process)
+    process_id: int = -1           # this process's rank
     apply_adjust_config: int = 1  # 0 => keep CLI values verbatim (tests)
 
     # ----------------------------------------------------------------- utils

@@ -209,6 +209,41 @@ class VoxToKyptNet(nn.Module):
         return heatmaps, keypoints, gaussians, first_feature
 
 
+class _ConvParams(nn.Module):
+    """Owns a conv's kernel/bias WITHOUT computing the conv (the strip
+    decoder computes it via ops.stripconv).  Same param names/shapes/init
+    as nn.Conv, and instantiated under the same pinned name, so the
+    parameter tree and checkpoints are identical across paths."""
+    features: int
+    kernel_size: tuple
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", PLAIN_CONV_INIT,
+                       tuple(self.kernel_size) + (in_features,
+                                                  self.features))
+        b = self.param("bias", zeros_init(), (self.features,))
+        return k, b
+
+
+class _GroupNormParams(nn.Module):
+    """scale/bias of nn.GroupNorm, under the same pinned name."""
+    @nn.compact
+    def __call__(self, C: int):
+        scale = self.param("scale", nn.initializers.ones_init(), (C,))
+        bias = self.param("bias", zeros_init(), (C,))
+        return scale, bias
+
+
+def _strip_size(U: int, Cout: int) -> int:
+    """Largest strip size with S*Cout <= 128 that divides U (the MXU lane
+    tile is 128; S*Cout == 128 makes the conv output a full tile)."""
+    S = max(128 // Cout, 1)
+    while S > 1 and (U % S != 0 or 128 % Cout != 0):
+        S //= 2
+    return max(S, 1)
+
+
 class VoxelDecoder(nn.Module):
     """Feature map at grid/4 -> occupancy logits at grid via 2x trilinear
     upsample + conv stages (reference build_voxel_decoder,
@@ -220,16 +255,26 @@ class VoxelDecoder(nn.Module):
     nested per-stage remat bounds the backward peak to one stage's
     internals plus the stage boundaries.  Parameter names are pinned
     explicitly so the tree is identical either way.
+
+    ``use_strip``: compute the k=3 convs strip-packed (ops/stripconv.py):
+    S output planes fold into the channel dim so each conv becomes a
+    full-MXU-tile contraction ((S+2)*Cin -> S*Cout = 128 lanes) instead
+    of a lane-starved Cout=32/64 conv3d.  Pure XLA, same params, same
+    math up to summation order.
     """
     feat_dim: int = 128
     dtype: jnp.dtype = jnp.float32
     remat_stages: bool = False
+    use_strip: bool = True
 
     @nn.compact
     def __call__(self, x):
         # half-pixel trilinear x2 (== torch Upsample align_corners=False),
         # as MXU contractions — jax.image.resize gathers are ~8x slower
         from ..ops.upsample import upsample2_trilinear as upsample2
+
+        if self.use_strip:
+            return self._strip_forward(x, upsample2)
 
         def stage(mdl, v, C, i):
             v = Conv(C, (3, 3, 3), padding="SAME",
@@ -251,6 +296,50 @@ class VoxelDecoder(nn.Module):
         return nn.Conv(1, (1, 1, 1), kernel_init=PLAIN_CONV_INIT,
                        bias_init=zeros_init(), dtype=self.dtype,
                        name="Conv_4")(x)
+
+    def _strip_forward(self, x, upsample2):
+        """Packed end-to-end: the input (N, g, g, g, F) is an S=1 packed
+        tensor (F = full 128 lanes); upsampling doubles the strip size in
+        place (upsample2_packed), so no pack/unpack transposes exist
+        anywhere — the only relayout is the final (N, U, V, W, 1) output
+        reshape.  GroupNorm is the reshape-free selector-matmul variant
+        (splitting the 128-lane minor dim costs XLA relayout copies)."""
+        del upsample2  # packed variant used instead
+        from ..ops.stripconv import (strip_conv3, strip_group_norm_fast,
+                                     upsample2_packed)
+
+        def stage(mdl, v, Cin, C, i, S):
+            k, b = _ConvParams(C, (3, 3, 3), name=f"Conv_{i}")(Cin)
+            v = strip_conv3(v, k.astype(mdl.dtype), b.astype(mdl.dtype), S)
+            sc, bi = _GroupNormParams(name=f"GroupNorm_{i}")(C)
+            v = strip_group_norm_fast(v, sc, bi, max(C // 16, 1), S)
+            return leaky_relu(v)
+
+        if self.remat_stages:
+            stage = nn.remat(stage, static_argnums=(2, 3, 4, 5))
+
+        C01, C23 = self.feat_dim // 2, self.feat_dim // 4
+        F = x.shape[-1]
+
+        xp = upsample2_packed(x, 1)            # S=1 -> S=2 (@ 2g)
+        S0 = 2
+        xp = stage(self, xp, F, C01, 0, S0)
+        xp = stage(self, xp, C01, C01, 1, S0)
+        xp = upsample2_packed(xp, S0)          # S=2 -> S=4 (@ 4g)
+        S2 = 2 * S0
+        xp = stage(self, xp, C01, C23, 2, S2)
+        xp = stage(self, xp, C23, C23, 3, S2)
+        # 1x1 head as a lane-space block matmul (bandwidth-bound; the
+        # (S, C) minor reshape would trigger a relayout copy)
+        kh, bh = _ConvParams(1, (1, 1, 1), name="Conv_4")(C23)
+        w_head = kh.astype(self.dtype)[0, 0, 0, :, 0]          # (C23,)
+        blocks = [jnp.zeros((C23, S2), self.dtype)
+                  .at[:, j].set(w_head) for j in range(S2)]
+        Wblk = jnp.concatenate(blocks, axis=0)                  # (SC, S2)
+        N, Us, V, W, _ = xp.shape
+        logits = xp @ Wblk + bh.astype(self.dtype)  # (N, Us, V, W, S2)
+        logits = jnp.moveaxis(logits, 4, 2)         # (N, Us, S2, V, W)
+        return logits.reshape(N, Us * S2, V, W, 1)
 
 
 class KyptToVoxNet(nn.Module):
@@ -293,8 +382,12 @@ class KyptToVoxNet(nn.Module):
                     bias_init=zeros_init(), dtype=self.dtype)(combined)
         x = leaky_relu(x)
         decoder_cls = nn.remat(VoxelDecoder) if cfg.remat else VoxelDecoder
+        strip = cfg.strip_decoder
+        use_strip = (jax.default_backend() == "tpu") if strip == -1 \
+            else bool(strip)
         logits = decoder_cls(feat_dim, dtype=self.dtype,
-                             remat_stages=cfg.remat >= 2)(x)
+                             remat_stages=cfg.remat >= 2,
+                             use_strip=use_strip)(x)
 
         ff0 = jnp.broadcast_to(first_frame[:, None],
                                (B, T) + first_frame.shape[1:])

@@ -1,0 +1,208 @@
+"""Strip-packed 3D convolutions: full-MXU-tile conv for small channels.
+
+Why.  The decoder's 64^3 convs (reference build_voxel_decoder,
+kypt_detector.py:417-460) have Cout=32/Cin=64: on TPU the MXU contracts
+128x128 tiles and HBM/VMEM layouts pad the minor (channel) dim to 128
+lanes, so XLA's native conv3d runs these stages at ~15% of bf16 peak with
+~21 ms/step of layout copies around them (BASELINE.md round-2 trace).
+
+What.  Fold S consecutive planes of one spatial axis (U) into the channel
+dim ("strip packing"): x (N, U, V, W, C) -> xp (N, U/S, V, W, S*C).  A
+k=3 conv along U then only needs the S+2 planes covering a strip's
+window, which are a LANE-CONTIGUOUS slice of [prev-block last plane |
+this block | next-block first plane].  The U-taps become part of the
+contraction dim and the remaining (V, W) taps are a plain 2D conv:
+
+    conv3d(k=3, Cin -> Cout)  ==  conv2d(k=3x3, (S+2)*Cin -> S*Cout)
+
+over the windowed packed tensor, with a block-Toeplitz weight expansion
+(zeros where d - j is outside the tap range).  For the flagship decoder
+stages this turns (Cin=64 -> Cout=32) into (384 -> 128) — every matmul
+dim a full multiple of the 128-lane MXU tile.  The Toeplitz zeros cost
+exactly 2x FLOPs at S=4 ((S+2)/3), which is a bargain against the ~7x
+utilization loss they buy back.  S is chosen per stage so S*Cout = 128.
+
+Everything here is pure XLA (differentiable, works on CPU), so the same
+formulation accelerates the backward pass in training.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pack_strips(x: jnp.ndarray, S: int) -> jnp.ndarray:
+    """(N, U, V, W, C) -> (N, U//S, V, W, S*C); lane order (s, c)."""
+    N, U, V, W, C = x.shape
+    assert U % S == 0, f"U={U} not divisible by strip size {S}"
+    x = x.reshape(N, U // S, S, V, W, C)
+    x = jnp.moveaxis(x, 2, 4)
+    return x.reshape(N, U // S, V, W, S * C)
+
+
+def unpack_strips(xp: jnp.ndarray, S: int) -> jnp.ndarray:
+    """Inverse of :func:`pack_strips`."""
+    N, Us, V, W, SC = xp.shape
+    C = SC // S
+    x = xp.reshape(N, Us, V, W, S, C)
+    x = jnp.moveaxis(x, 4, 2)
+    return x.reshape(N, Us * S, V, W, C)
+
+
+def window_strips(xp: jnp.ndarray, S: int, Cin: int) -> jnp.ndarray:
+    """Packed (N, Us, V, W, S*Cin) -> windowed (N, Us, V, W, (S+2)*Cin).
+
+    Window slot d in 0..S+1 holds input plane S*us - 1 + d (zeros outside
+    the volume == SAME padding along U).  Slots 1..S are the block itself;
+    slot 0 / S+1 are single lane-slices of the neighbour blocks, so the
+    whole window is three lane-contiguous concatenated slices.
+    """
+    N, Us, V, W, SC = xp.shape
+    xpad = jnp.pad(xp, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    prev_last = xpad[:, 0:Us, :, :, (S - 1) * Cin:S * Cin]
+    next_first = xpad[:, 2:Us + 2, :, :, 0:Cin]
+    return jnp.concatenate([prev_last, xp, next_first], axis=-1)
+
+
+def strip_weights(kernel: jnp.ndarray, S: int) -> jnp.ndarray:
+    """(3, 3, 3, Cin, Cout) conv kernel -> (3, 3, (S+2)*Cin, S*Cout)
+    block-Toeplitz expansion for the windowed conv2d.
+
+    Output plane j of a strip reads window slot d with U-tap
+    ku = d - j (valid 0..2); invalid (d, j) pairs are exact zeros.
+    """
+    assert kernel.shape[0] == 3, "strip conv supports k=3 along U"
+    zeros = jnp.zeros_like(kernel[0])  # (3, 3, Cin, Cout)
+    rows = []
+    for d in range(S + 2):
+        row = [kernel[d - j] if 0 <= d - j <= 2 else zeros
+               for j in range(S)]
+        rows.append(jnp.stack(row, axis=0))      # (S, 3, 3, Cin, Cout)
+    T = jnp.stack(rows, axis=0)                  # (S+2, S, 3, 3, Cin, Cout)
+    T = T.transpose(2, 3, 0, 4, 1, 5)            # (3, 3, S+2, Cin, S, Cout)
+    Cin, Cout = kernel.shape[3], kernel.shape[4]
+    return T.reshape(3, 3, (S + 2) * Cin, S * Cout)
+
+
+def strip_conv3(xp: jnp.ndarray, kernel: jnp.ndarray, bias, S: int
+                ) -> jnp.ndarray:
+    """SAME k=3 conv3d on a strip-packed tensor.
+
+    xp (N, Us, V, W, S*Cin); kernel (3, 3, 3, Cin, Cout) in flax Conv
+    layout; returns (N, Us, V, W, S*Cout).
+    """
+    N, Us, V, W, SC = xp.shape
+    Cin = SC // S
+    Cout = kernel.shape[-1]
+    w6 = window_strips(xp, S, Cin)
+    T = strip_weights(kernel, S)
+    y = jax.lax.conv_general_dilated(
+        w6.reshape(N * Us, V, W, (S + 2) * Cin), T,
+        window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=xp.dtype)
+    y = y.reshape(N, Us, V, W, S * Cout)
+    if bias is not None:
+        y = y + jnp.tile(bias, S)
+    return y
+
+
+def strip_group_norm(xp: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+                     num_groups: int, S: int,
+                     eps: float = 1e-5) -> jnp.ndarray:
+    """GroupNorm(C // 16 groups) on a strip-packed tensor: statistics per
+    (sample, group) over all spatial positions INCLUDING the S packed
+    planes — identical to flax nn.GroupNorm on the unpacked tensor."""
+    N, Us, V, W, SC = xp.shape
+    C = SC // S
+    gs = C // num_groups
+    x6 = xp.reshape(N, Us, V, W, S, num_groups, gs).astype(jnp.float32)
+    # fast variance (E[x^2] - E[x]^2), matching flax's default
+    mean = jnp.mean(x6, axis=(1, 2, 3, 4, 6), keepdims=True)
+    mean2 = jnp.mean(jnp.square(x6), axis=(1, 2, 3, 4, 6), keepdims=True)
+    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+    y = (x6 - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(N, Us, V, W, S, C).astype(xp.dtype)
+    y = y * scale.astype(xp.dtype) + bias.astype(xp.dtype)
+    return y.reshape(N, Us, V, W, SC)
+
+
+def upsample2_packed(xp: jnp.ndarray, S: int) -> jnp.ndarray:
+    """Half-pixel 2x trilinear upsample of a strip-packed tensor WITHOUT
+    unpacking: (N, Us, V, W, S*C) -> (N, Us, 2V, 2W, 2S*C).
+
+    The U axis doubles inside the lanes (strip size S -> 2S, strip count
+    unchanged): out plane 2r = 0.25*plane(r-1) + 0.75*plane(r) and
+    out plane 2r+1 = 0.75*plane(r) + 0.25*plane(r+1) (edges clamped,
+    matching ops.upsample's interpolation matrix), where the r-1 / r+1
+    neighbours are lane-contiguous slices plus one plane borrowed from
+    the adjacent strip.  V / W upsample as ordinary interp-matrix
+    contractions (packing only touches U).  Zero transposes.
+    """
+    from .upsample import _interp_matrix
+    N, Us, V, W, SC = xp.shape
+    C = SC // S
+    dname = jnp.dtype(xp.dtype).name
+
+    # neighbour planes (global edge clamp: plane -1 -> 0, plane U -> U-1)
+    prev_last = jnp.concatenate(
+        [xp[:, :1, :, :, 0:C], xp[:, :-1, :, :, (S - 1) * C:]], axis=1)
+    next_first = jnp.concatenate(
+        [xp[:, 1:, :, :, 0:C], xp[:, -1:, :, :, (S - 1) * C:]], axis=1)
+    left = jnp.concatenate([prev_last, xp[..., :(S - 1) * C]], axis=-1) \
+        if S > 1 else prev_last
+    right = jnp.concatenate([xp[..., C:], next_first], axis=-1) \
+        if S > 1 else next_first
+    even = 0.25 * left + 0.75 * xp    # lane block r -> out plane 2r
+    odd = 0.75 * xp + 0.25 * right    # lane block r -> out plane 2r+1
+    out = jnp.concatenate(
+        [blk for r in range(S)
+         for blk in (even[..., r * C:(r + 1) * C],
+                     odd[..., r * C:(r + 1) * C])], axis=-1)
+
+    Wv = _interp_matrix(V, dname)
+    Ww = _interp_matrix(W, dname)
+    out = jnp.einsum("Vv,nuvwk->nuVwk", Wv, out)
+    out = jnp.einsum("Ww,nuvwk->nuvWk", Ww, out)
+    return out.astype(xp.dtype)
+
+
+def strip_group_norm_fast(xp: jnp.ndarray, scale: jnp.ndarray,
+                          bias: jnp.ndarray, num_groups: int, S: int,
+                          eps: float = 1e-5) -> jnp.ndarray:
+    """Reshape-free GroupNorm on a strip-packed tensor.
+
+    Splitting the 128-lane minor dim (reshape to (S, G, gs)) forces XLA
+    relayout copies on TPU; instead group statistics are computed with a
+    static (S*C, G) 0/1 selector matmul over per-lane f32 sums, and the
+    normalization is one fused elementwise pass with per-(sample, lane)
+    scale/shift.  Matches flax GroupNorm (f32 stats, fast variance).
+    """
+    import numpy as np
+    N, Us, V, W, SC = xp.shape
+    C = SC // S
+    gs = C // num_groups
+    sel = np.zeros((SC, num_groups), np.float32)
+    sel[np.arange(SC), (np.arange(SC) % C) // gs] = 1.0
+    sel = jnp.asarray(sel)
+
+    # per-lane sums with f32 accumulation (bf16 products are exact in
+    # f32); leading-axis-first reduction order measured fastest on TPU
+    # (scripts/bench_gnstats.py)
+    s1_lane = jnp.sum(xp, axis=(1, 2, 3), dtype=jnp.float32)      # (N, SC)
+    s2_lane = jnp.einsum("nuvwk,nuvwk->nk", xp, xp,
+                         preferred_element_type=jnp.float32)
+    s1 = s1_lane @ sel                                            # (N, G)
+    s2 = s2_lane @ sel
+    count = Us * V * W * S * gs
+    mean = s1 / count
+    var = jnp.maximum(s2 / count - jnp.square(mean), 0.0)
+    rstd = jax.lax.rsqrt(var + eps)                               # (N, G)
+
+    gamma = jnp.tile(scale.astype(jnp.float32), S)                # (SC,)
+    beta = jnp.tile(bias.astype(jnp.float32), S)
+    a = (rstd @ sel.T) * gamma[None]                              # (N, SC)
+    b = beta[None] - (mean * rstd) @ sel.T * gamma[None]
+    y = xp * a[:, None, None, None, :].astype(xp.dtype) \
+        + b[:, None, None, None, :].astype(xp.dtype)
+    return y

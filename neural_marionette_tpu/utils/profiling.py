@@ -82,3 +82,34 @@ def device_memory_stats() -> dict:
         except Exception:
             stats[str(d)] = None
     return stats
+
+
+def loop_time(fn, *args, iters: int = 20) -> float:
+    """Reliable per-iteration wall time through the axon tunnel.
+
+    Per-call RPC overhead through the tunneled TPU is 50-150 ms, which
+    swamps per-call timing, and ``block_until_ready`` alone reports
+    garbage (ROADMAP.md).  This runs ``fn`` ``iters`` times inside ONE
+    jitted ``lax.fori_loop`` with a data dependence between iterations
+    (input scaled by ``1 + 1e-12 * carry`` — exact identity in bf16/f32
+    but opaque to the compiler, so the body cannot be hoisted) plus a
+    full-output reduction (so XLA cannot narrow the computation), then
+    fetches once: overhead amortizes to 1/iters.
+    """
+    import jax.numpy as jnp
+    x0, rest = args[0], args[1:]
+
+    @jax.jit
+    def loop(x, *rest):
+        def body(i, s):
+            out = fn(x * (1 + 1e-12 * s).astype(x.dtype), *rest)
+            leaves = jax.tree.leaves(out)
+            return sum(jnp.sum(o.astype(jnp.float32)) for o in leaves) \
+                * jnp.float32(1e-20)
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    c = loop.lower(x0, *rest).compile()
+    float(c(x0, *rest))  # warmup + fetch
+    t0 = time.perf_counter()
+    float(c(x0, *rest))
+    return (time.perf_counter() - t0) / iters

@@ -238,66 +238,78 @@ class HSVRNNBVH(nn.Module):
         h0 = jnp.broadcast_to(self.init_state, (S, self._H))
         rng = self.make_rng("sample")
         keys = jnp.stack([jax.random.fold_in(rng, t) for t in range(T)])
-        is_anchor = jnp.asarray(
-            [(t % anchor_rate == 0) or (t == T - 1) for t in range(T)])
         kp_det_seq = keypoints[0].reshape(T, K * 4)
 
-        def step(h, inp):
-            key, anchor, kp_det = inp
+        # anchor positions are STATIC in t, so the anchor/between split is
+        # hoisted to Python level: anchor steps run unrolled and the
+        # in-between stretches are uniform prior-only lax.scans.  (A
+        # traced per-step lax.cond inside one scan lowers to
+        # select-both-branches — every step then pays the anchor branch's
+        # two extra decodes, ~3x the decode work at S=10000.)
+        anchors = [t for t in range(T)
+                   if t % anchor_rate == 0 or t == T - 1]
+        anchor_set = set(anchors)
+
+        def between_step(h, key):
+            prior_mean, prior_std = self._dist_params(
+                h, self.prior_l1, self.prior_l2)
+            z = prior_mean + prior_std * jax.random.normal(
+                key, prior_mean.shape, prior_mean.dtype)
+            kp_flat, _ = self.extract_kypt_from_latent_and_state(
+                jnp.concatenate([h, z], axis=-1), offset_rep, skeleton)
+            h_new = self._gru(jnp.concatenate([kp_flat, z], axis=-1), h)
+            return h_new, kp_flat
+
+        def anchor_step(h, key, kp_det):
             kp_det_rep = jnp.broadcast_to(kp_det[None], (S, K * 4))
+            k1, k2 = jax.random.split(key)
+            post_mean, post_std = self._dist_params(
+                jnp.concatenate([h, kp_det_rep], axis=-1),
+                self.post_l1, self.post_l2)
+            prior_mean, prior_std = self._dist_params(
+                h, self.prior_l1, self.prior_l2)
+            z_post = post_mean + post_std * jax.random.normal(
+                k1, post_mean.shape, post_mean.dtype)
+            z_choose = prior_mean + prior_std * jax.random.normal(
+                k2, prior_mean.shape, prior_mean.dtype)
+            kp_post, _ = self.extract_kypt_from_latent_and_state(
+                jnp.concatenate([h, z_post], axis=-1), offset_rep,
+                skeleton)
+            kp_choose, _ = self.extract_kypt_from_latent_and_state(
+                jnp.concatenate([h, z_choose], axis=-1), offset_rep,
+                skeleton)
+            best = jnp.argmin(jnp.sum(
+                (kp_post - kp_det_rep) ** 2, axis=-1))
+            kp_best = jnp.broadcast_to(kp_post[best][None], (S, K * 4))
+            z = jnp.broadcast_to(z_post[best][None], z_post.shape)
+            h_c = jnp.broadcast_to(h[best][None], h.shape)
+            choose = jnp.argmin(jnp.sum(
+                (kp_choose - kp_best) ** 2, axis=-1)).astype(jnp.int32)
+            h_new = self._gru(jnp.concatenate([kp_best, z], axis=-1), h_c)
+            return h_new, kp_det_rep, choose
 
-            def anchor_branch(h):
-                k1, k2 = jax.random.split(key)
-                post_mean, post_std = self._dist_params(
-                    jnp.concatenate([h, kp_det_rep], axis=-1),
-                    self.post_l1, self.post_l2)
-                prior_mean, prior_std = self._dist_params(
-                    h, self.prior_l1, self.prior_l2)
-                z_post = post_mean + post_std * jax.random.normal(
-                    k1, post_mean.shape, post_mean.dtype)
-                z_choose = prior_mean + prior_std * jax.random.normal(
-                    k2, prior_mean.shape, prior_mean.dtype)
-                kp_post, _ = self.extract_kypt_from_latent_and_state(
-                    jnp.concatenate([h, z_post], axis=-1), offset_rep,
-                    skeleton)
-                kp_choose, _ = self.extract_kypt_from_latent_and_state(
-                    jnp.concatenate([h, z_choose], axis=-1), offset_rep,
-                    skeleton)
-                best = jnp.argmin(jnp.sum(
-                    (kp_post - kp_det_rep) ** 2, axis=-1))
-                kp_best = jnp.broadcast_to(kp_post[best][None], (S, K * 4))
-                z = jnp.broadcast_to(z_post[best][None], z_post.shape)
-                h_c = jnp.broadcast_to(h[best][None], h.shape)
-                choose = jnp.argmin(jnp.sum(
-                    (kp_choose - kp_best) ** 2, axis=-1)).astype(jnp.int32)
-                return h_c, kp_best, z, kp_det_rep, choose
-
-            def between_branch(h):
-                prior_mean, prior_std = self._dist_params(
-                    h, self.prior_l1, self.prior_l2)
-                z = prior_mean + prior_std * jax.random.normal(
-                    key, prior_mean.shape, prior_mean.dtype)
-                kp_flat, _ = self.extract_kypt_from_latent_and_state(
-                    jnp.concatenate([h, z], axis=-1), offset_rep, skeleton)
-                return h, kp_flat, z, kp_flat, jnp.zeros((), jnp.int32)
-
-            h_sel, kp_gru, z, kp_store, choose = jax.lax.cond(
-                anchor, anchor_branch, between_branch, h)
-            h_new = self._gru(jnp.concatenate([kp_gru, z], axis=-1), h_sel)
-            return h_new, (kp_store, choose)
-
-        _, (kp_all, chooses) = jax.lax.scan(
-            step, h0, (keys, is_anchor, kp_det_seq))
-
-        # selection index for step t = the next anchor's choose (reverse scan)
-        def back(carry, inp):
-            anchor, choose = inp
-            sel = jnp.where(anchor, choose, carry)
-            return sel, sel
-
-        _, sel_idx = jax.lax.scan(
-            back, jnp.zeros((), jnp.int32), (is_anchor, chooses),
-            reverse=True)
+        h = h0
+        kp_parts = [None] * T
+        chooses = {}
+        t = 0
+        while t < T:
+            if t in anchor_set:
+                h, kp_store, choose = anchor_step(h, keys[t],
+                                                  kp_det_seq[t])
+                kp_parts[t] = kp_store
+                chooses[t] = choose
+                t += 1
+            else:
+                nxt = min(a for a in anchors if a > t)
+                h, kp_seq = jax.lax.scan(between_step, h, keys[t:nxt])
+                for i in range(nxt - t):
+                    kp_parts[t + i] = kp_seq[i]
+                t = nxt
+        kp_all = jnp.stack(kp_parts)  # (T, S, K*4)
+        # selection index for step t = the nearest anchor >= t's choose
+        sel_idx = jnp.stack(
+            [chooses[min(a for a in anchors if a >= t)]
+             for t in range(T)])
 
         selected = jnp.take_along_axis(
             kp_all, sel_idx[:, None, None], axis=1)[:, 0]  # (T, K*4)

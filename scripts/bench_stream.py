@@ -1,0 +1,111 @@
+"""Streaming-serving benchmark: double-buffered window pipeline.
+
+A serving deployment consumes an endless stream of point-cloud windows:
+host -> HBM transfer, detector encode, VRNN rollout per window.  This
+measures per-window latency two ways:
+
+* sequential: put window t, run, fetch, then start window t+1;
+* pipelined:  window t+1's host->HBM transfer is issued while window t's
+  compute is still in flight (JAX async dispatch = the double-buffered
+  host->HBM streaming of BASELINE.json's north star).
+
+Done-criterion (VERDICT r2 #7): pipelined per-window wall time <
+transfer + compute of the sequential loop (the transfer rides under the
+compute).
+
+Usage: python scripts/bench_stream.py [B] [windows] [dtype]
+One TPU process at a time.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    n_windows = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    dtype = jnp.float32 if (len(sys.argv) > 3 and sys.argv[3] == "float32") \
+        else jnp.bfloat16
+
+    from neural_marionette_tpu.config import MarionetteConfig, adjust_config
+    from neural_marionette_tpu.models import NeuralMarionette, SkeletonArrays
+    from neural_marionette_tpu.ops import voxelize_jnp
+
+    cfg = adjust_config(MarionetteConfig(dataset="aist"))
+    T, G = cfg.Ttot, cfg.grid_size
+    model = NeuralMarionette(cfg, dtype=dtype)
+    sk = SkeletonArrays.chain(cfg.nkeypoints)
+
+    rng = np.random.default_rng(0)
+    # host-side windows: raw points (what a stream delivers)
+    windows = [rng.uniform(-0.8, 0.8, size=(B, T, 2048, 3))
+               .astype(np.float32) for _ in range(n_windows)]
+
+    @jax.jit
+    def encode_window(params, pts):
+        vox = voxelize_jnp(pts, G).astype(dtype)
+        out = model.apply(params, vox,
+                          method=NeuralMarionette.encode_only,
+                          rngs={"sample": jax.random.PRNGKey(2)})
+        return out["keypoints"], out["kypt_recon"]
+
+    pts0 = jnp.asarray(windows[0])
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "sample": jax.random.PRNGKey(1)},
+                        voxelize_jnp(pts0[:1, :2], G).astype(dtype),
+                        detector_active=True, learner_active=True,
+                        skeleton=sk)
+    compiled = encode_window.lower(params, pts0).compile()
+
+    def fetch(out):
+        return np.asarray(out[0])  # keypoints back to the host consumer
+
+    # warmup
+    fetch(compiled(params, jax.device_put(pts0)))
+
+    # --- sequential: put -> run -> fetch, one window at a time
+    t0 = time.perf_counter()
+    for w in windows:
+        dev = jax.device_put(w)
+        jax.block_until_ready(dev)
+        out = compiled(params, dev)
+        fetch(out)
+    seq = (time.perf_counter() - t0) / n_windows
+
+    # --- pipelined: next window's transfer issued under current compute
+    t0 = time.perf_counter()
+    dev = jax.device_put(windows[0])
+    pending = None
+    for i, w in enumerate(windows):
+        out = compiled(params, dev)           # async dispatch
+        if i + 1 < n_windows:
+            dev = jax.device_put(windows[i + 1])  # transfer under compute
+        if pending is not None:
+            fetch(pending)                    # consume window i-1
+        pending = out
+    fetch(pending)
+    pipe = (time.perf_counter() - t0) / n_windows
+
+    # transfer-only cost for the report
+    t0 = time.perf_counter()
+    for w in windows:
+        jax.block_until_ready(jax.device_put(w))
+    put = (time.perf_counter() - t0) / n_windows
+
+    print(f"windows={n_windows} B={B} dtype={jnp.dtype(dtype).name}")
+    print(f"host->HBM transfer     : {put*1e3:7.2f} ms/window")
+    print(f"sequential put+run+fetch: {seq*1e3:7.2f} ms/window")
+    print(f"pipelined (double-buf) : {pipe*1e3:7.2f} ms/window")
+    print(f"overlap win: {seq/pipe:.2f}x  "
+          f"(hidden {max(seq-pipe, 0)*1e3:.1f} ms/window)")
+
+
+if __name__ == "__main__":
+    main()

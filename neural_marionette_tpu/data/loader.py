@@ -39,12 +39,27 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  num_workers: int = 4, drop_last: bool = True,
-                 seed: int = 0):
+                 seed: int = 0, process_index: int = 0,
+                 process_count: int = 1):
+        """``batch_size`` is the GLOBAL batch.  With ``process_count > 1``
+        (multi-host, SURVEY §5) every process draws the same global index
+        order (same seed) but materializes only its
+        ``batch_size / process_count`` slice of each batch; the global
+        array is assembled device-side by
+        :func:`prefetch_to_device` via
+        ``jax.make_array_from_process_local_data``."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = num_workers
         self.drop_last = drop_last
+        self.process_index = process_index
+        self.process_count = process_count
+        if process_count > 1:
+            assert batch_size % process_count == 0, \
+                f"global batch {batch_size} % processes {process_count} != 0"
+            assert drop_last, "multi-host loading requires drop_last " \
+                "(static per-host shapes)"
         self._rng = random.Random(seed)
         self._pool = (cf.ThreadPoolExecutor(num_workers)
                       if num_workers > 0 else None)
@@ -64,6 +79,12 @@ class DataLoader:
             idx = order[i:i + bs]
             if self.drop_last and len(idx) < bs:
                 return
+            if self.process_count > 1:
+                # per-host slice of the global batch (row p of the 'data'
+                # mesh axis lives on process p's devices)
+                per = bs // self.process_count
+                idx = idx[self.process_index * per:
+                          (self.process_index + 1) * per]
             if self._pool is not None:
                 items = list(self._pool.map(self.dataset.__getitem__, idx))
             else:
@@ -83,6 +104,12 @@ def prefetch_to_device(iterator, buffer_size: int = 2, mesh=None,
     def put(batch):
         if sharding is None:
             return jax.tree.map(jax.device_put, batch)
+        if jax.process_count() > 1:
+            # each host contributed only its slice; build the global
+            # array from per-process shards (no cross-host data motion)
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    sharding, np.asarray(x)), batch)
         return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
     queue = collections.deque()

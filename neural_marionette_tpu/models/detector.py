@@ -305,12 +305,14 @@ class VoxelDecoder(nn.Module):
         reshape.  GroupNorm is the reshape-free selector-matmul variant
         (splitting the 128-lane minor dim costs XLA relayout copies)."""
         del upsample2  # packed variant used instead
-        from ..ops.stripconv import (strip_conv3, strip_group_norm_fast,
+        from ..ops.stripconv import (strip_conv3_split,
+                                     strip_group_norm_fast,
                                      upsample2_packed)
 
         def stage(mdl, v, Cin, C, i, S):
             k, b = _ConvParams(C, (3, 3, 3), name=f"Conv_{i}")(Cin)
-            v = strip_conv3(v, k.astype(mdl.dtype), b.astype(mdl.dtype), S)
+            v = strip_conv3_split(v, k.astype(mdl.dtype),
+                                  b.astype(mdl.dtype), S)
             sc, bi = _GroupNormParams(name=f"GroupNorm_{i}")(C)
             v = strip_group_norm_fast(v, sc, bi, max(C // 16, 1), S)
             return leaky_relu(v)

@@ -206,3 +206,71 @@ def strip_group_norm_fast(xp: jnp.ndarray, scale: jnp.ndarray,
     y = xp * a[:, None, None, None, :].astype(xp.dtype) \
         + b[:, None, None, None, :].astype(xp.dtype)
     return y
+
+
+def strip_split_weights(kernel: jnp.ndarray, S: int):
+    """(3, 3, 3, Cin, Cout) -> (T_main (3, 3, S*Cin, S*Cout),
+    T_edge (3, 3, 2*Cin, S*Cout)) for the assembly-free split conv.
+
+    T_main holds every within-strip tap: output plane j reads in-strip
+    plane p with U-tap ku = p - j + 1 (valid 0..2).  T_edge holds the two
+    cross-strip taps: rows 0..Cin-1 = the previous strip's LAST plane
+    (feeds j=0 with ku=0), rows Cin.. = the next strip's FIRST plane
+    (feeds j=S-1 with ku=2).
+    """
+    zeros = jnp.zeros_like(kernel[0])          # (3, 3, Cin, Cout)
+    rows = []
+    for p in range(S):
+        row = [kernel[p - j + 1] if abs(p - j) <= 1 else zeros
+               for j in range(S)]
+        rows.append(jnp.stack(row, axis=0))    # (S, 3, 3, Cin, Cout)
+    Tm = jnp.stack(rows, axis=0)               # (S, S, 3, 3, Cin, Cout)
+    Tm = Tm.transpose(2, 3, 0, 4, 1, 5)
+    Cin, Cout = kernel.shape[3], kernel.shape[4]
+    Tm = Tm.reshape(3, 3, S * Cin, S * Cout)
+
+    erows = []
+    for which in range(2):                     # 0: prev-last, 1: next-first
+        j_hit = 0 if which == 0 else S - 1
+        ku = 0 if which == 0 else 2
+        row = [kernel[ku] if j == j_hit else zeros for j in range(S)]
+        erows.append(jnp.stack(row, axis=0))   # (S, 3, 3, Cin, Cout)
+    Te = jnp.stack(erows, axis=0)              # (2, S, 3, 3, Cin, Cout)
+    Te = Te.transpose(2, 3, 0, 4, 1, 5).reshape(3, 3, 2 * Cin, S * Cout)
+    return Tm, Te
+
+
+def strip_conv3_split(xp: jnp.ndarray, kernel: jnp.ndarray, bias, S: int
+                      ) -> jnp.ndarray:
+    """Assembly-free SAME k=3 conv3d on a strip-packed tensor.
+
+    Identical math and FLOPs to :func:`strip_conv3`, but instead of
+    materializing the (S+2)*Cin windowed tensor (measured ~13 ms/stage at
+    104 GB/s — scripts/bench_window.py), the conv splits into a main
+    conv2d over xp itself plus an edge conv2d over the small
+    [prev-last-plane | next-first-plane] tensor (2*Cin lanes).
+    """
+    N, Us, V, W, SC = xp.shape
+    Cin = SC // S
+    Cout = kernel.shape[-1]
+    Tm, Te = strip_split_weights(kernel, S)
+
+    zrow = jnp.zeros_like(xp[:, :1, :, :, 0:Cin])
+    prev_last = jnp.concatenate(
+        [zrow, xp[:, :-1, :, :, (S - 1) * Cin:]], axis=1)
+    next_first = jnp.concatenate(
+        [xp[:, 1:, :, :, 0:Cin], zrow], axis=1)
+    E = jnp.concatenate([prev_last, next_first], axis=-1)
+
+    def c2d(v, w):
+        return jax.lax.conv_general_dilated(
+            v.reshape(N * Us, V, W, v.shape[-1]), w,
+            window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=xp.dtype)
+
+    y = c2d(xp, Tm) + c2d(E, Te)
+    y = y.reshape(N, Us, V, W, S * Cout)
+    if bias is not None:
+        y = y + jnp.tile(bias, S)
+    return y

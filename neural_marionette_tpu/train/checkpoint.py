@@ -42,15 +42,24 @@ class CheckpointManager:
 
     def save(self, epoch: int, state, skeleton: Optional[Skeleton] = None,
              extra: Optional[dict[str, Any]] = None) -> None:
-        # ring buffer (reference train.py:666-671)
-        existing = _epoch_dirs(self.ckpt_root)
-        while len(existing) >= self.save_que_len:
-            shutil.rmtree(os.path.join(self.ckpt_root, str(existing[0])))
-            existing = existing[1:]
-
+        # orbax's Checkpointer is itself a collective in multi-host runs
+        # (internal sync_global_devices barriers): EVERY process must call
+        # save; only the filesystem bookkeeping is coordinator-only
+        multiproc = jax.process_count() > 1
+        coordinator = jax.process_index() == 0
+        if coordinator:
+            # ring buffer (reference train.py:666-671)
+            existing = _epoch_dirs(self.ckpt_root)
+            while len(existing) >= self.save_que_len:
+                shutil.rmtree(os.path.join(self.ckpt_root,
+                                           str(existing[0])))
+                existing = existing[1:]
         path = os.path.join(self.ckpt_root, str(epoch))
-        if os.path.exists(path):
+        if coordinator and os.path.exists(path):
             shutil.rmtree(path)
+        if multiproc:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(f"nm_ckpt_pre_{epoch}")
         payload = {
             "params": state.params,
             "opt_state": state.opt_state,
@@ -70,9 +79,13 @@ class CheckpointManager:
                     np.asarray(skeleton.priority_indices).tolist(),
                 "parents": np.asarray(skeleton.parents).tolist(),
             }
-        with open(os.path.join(path, "meta.json"), "w") as f:
-            json.dump(meta, f)
+        if coordinator:
+            with open(os.path.join(path, "meta.json"), "w") as f:
+                json.dump(meta, f)
         self._ckptr.wait_until_finished()
+        if multiproc:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(f"nm_ckpt_post_{epoch}")
 
     def latest_epoch(self) -> Optional[int]:
         dirs = _epoch_dirs(self.ckpt_root)

@@ -12,8 +12,9 @@ import jax.numpy as jnp
 import pytest
 
 from neural_marionette_tpu.ops.stripconv import (
-    pack_strips, unpack_strips, strip_conv3, strip_group_norm,
-    strip_group_norm_fast, upsample2_packed, strip_weights)
+    pack_strips, unpack_strips, strip_conv3, strip_conv3_split,
+    strip_group_norm, strip_group_norm_fast, upsample2_packed,
+    strip_weights)
 from neural_marionette_tpu.ops.upsample import upsample2_trilinear
 from neural_marionette_tpu.models.detector import VoxelDecoder
 
@@ -40,6 +41,10 @@ def test_strip_conv3_matches_conv3d(S, Cin, Cout):
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b
     out = unpack_strips(strip_conv3(pack_strips(x, S), k, b, S), S)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5)
+    # assembly-free split form: identical math, no windowed tensor
+    out2 = unpack_strips(strip_conv3_split(pack_strips(x, S), k, b, S), S)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
                                atol=1e-5)
 
 

@@ -63,13 +63,19 @@ def main():
                                                      display_phase)
 
     from neural_marionette_tpu.parallel.distributed import (
-        install_preemption_handler, preempted)
+        initialize, install_preemption_handler, is_coordinator, preempted)
 
     cfg = parse_args()
     if cfg.platform:
         # the axon TPU plugin ignores the JAX_PLATFORMS env var; forcing
         # the platform must happen via jax.config before first backend use
         jax.config.update("jax_platforms", cfg.platform)
+    if cfg.coordinator_address or cfg.num_processes > 1:
+        # multi-host runtime: jax.distributed over DCN (SURVEY §5); must
+        # run before any backend use so all processes agree on the mesh
+        initialize(cfg.coordinator_address or None,
+                   cfg.num_processes or None,
+                   cfg.process_id if cfg.process_id >= 0 else None)
     if cfg.apply_adjust_config:
         cfg = adjust_config(cfg)
     cfg = derive_training_id(cfg)
@@ -77,18 +83,31 @@ def main():
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
     install_preemption_handler()
-    display_opts(cfg)
+    coord = is_coordinator()
+    if coord:
+        display_opts(cfg)
 
     # ------------------------------------------------------------------ data
     dataset_train = load_dataset(True, cfg)
     dataset_valid = load_dataset(False, cfg)
+    # per-host loading: each process materializes only its 1/process_count
+    # slice of every global batch; prefetch_to_device assembles the global
+    # array via jax.make_array_from_process_local_data
     loader_train = DataLoader(dataset_train, cfg.nbatch, shuffle=True,
-                              seed=cfg.seed, num_workers=cfg.num_workers)
+                              seed=cfg.seed, num_workers=cfg.num_workers,
+                              process_index=jax.process_index(),
+                              process_count=jax.process_count())
     loader_valid = DataLoader(dataset_valid, cfg.nbatch, shuffle=False,
-                              seed=cfg.seed, num_workers=cfg.num_workers)
+                              seed=cfg.seed, num_workers=cfg.num_workers,
+                              process_index=jax.process_index(),
+                              process_count=jax.process_count())
 
     # ----------------------------------------------------------------- model
     mesh = make_mesh(data=cfg.mesh_data, model=cfg.mesh_model)
+    if jax.process_count() > 1:
+        from neural_marionette_tpu.parallel.distributed import \
+            warmup_collectives
+        warmup_collectives(mesh)
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" \
         else jnp.float32
     model = NeuralMarionette(cfg, dtype=compute_dtype)
@@ -113,7 +132,8 @@ def main():
     logger_path = os.path.join(cfg.output_root, cfg.training_id,
                                cfg.exp_name)
     os.makedirs(logger_path, exist_ok=True)
-    cfg.save_json(os.path.join(logger_path, "opt.json"))
+    if coord:
+        cfg.save_json(os.path.join(logger_path, "opt.json"))
     ckpt_mgr = CheckpointManager(logger_path, cfg.save_que_len)
 
     # resume (reference train.py:238-265 semantics: explicit epoch or latest)
@@ -149,8 +169,12 @@ def main():
             raise ValueError(f"pretrained file is not existing: {pre}")
 
     # ------------------------------------------------------------- tb / logs
-    writer = _make_writer(os.path.join(logger_path, "logs"), start_epoch)
-    metrics_file = open(os.path.join(logger_path, "metrics.jsonl"), "a")
+    # multi-host: only the coordinator writes logs/TB (losses are
+    # identical on every process — replicated outputs of the same step)
+    writer = _make_writer(os.path.join(logger_path, "logs"), start_epoch) \
+        if coord else None
+    metrics_file = open(os.path.join(logger_path, "metrics.jsonl")
+                        if coord else os.devnull, "a")
     train_log, valid_log = MetricLogger(), MetricLogger()
     eval_metrics = ["semantic"] if cfg.is_eval else []
     if cfg.eval_voxel_chamfer:  # opt-in: the reference implements it but
@@ -230,23 +254,28 @@ def main():
                 state.params, points, sk_arrays,
                 jax.random.fold_in(jax.random.PRNGKey(cfg.seed), batch_id))
             valid_log.add_dict(jax.tree.map(float, metrics))
+            if eval_metrics or batch_id == 0:
+                # host copies; multi-host: allgather the global value
+                # (eval scoring and gif rendering are host-side numpy)
+                tensors = _gather_host(tensors)
             if batch_id == 0:
                 first_tensors = tensors
-                first_batch = points
+                first_batch = _gather_host(points)
                 if steps["gen"] is not None:
-                    first_gen = steps["gen"](
+                    first_gen = _gather_host(steps["gen"](
                         state.params, points, sk_arrays,
-                        jax.random.PRNGKey(cfg.seed + epoch_id))
+                        jax.random.PRNGKey(cfg.seed + epoch_id)))
             for name in eval_metrics:
                 if name == "semantic":
                     if gt_kypt is None:
                         continue
                     eval_params = dict(
                         keypoints=np.asarray(tensors["keypoints"]),
-                        gt_keypoints=np.asarray(gt_kypt))
+                        gt_keypoints=_gather_host(np.asarray(gt_kypt)))
                 else:  # voxel_chamfer: GT voxels vs reconstruction
                     eval_params = dict(
-                        voxel=np.asarray(_to_voxels(points, cfg)),
+                        voxel=np.asarray(_to_voxels(
+                            _gather_host(points), cfg)),
                         recon=np.asarray(tensors["recon"]))
                 out = evaluate(name, eval_scores[name], eval_params)
                 eval_scores[name] = out["scores"]
@@ -269,7 +298,7 @@ def main():
                 writer.add_scalar(f"valid/{k}", v, epoch_id)
 
         if (epoch_id % cfg.log_gif_every == 0 or epoch_id < 10) \
-                and first_tensors is not None:
+                and first_tensors is not None and coord:
             _log_gifs(writer, cfg, logger_path, epoch_id, first_batch,
                       first_tensors, first_gen, skeleton)
 
@@ -285,6 +314,8 @@ def main():
 
     # final eval CSV dump (reference evaluate_final, eval_utils.py:12-26)
     from neural_marionette_tpu.eval import semantic_final
+    if not coord:
+        eval_metrics = []
     for name in eval_metrics:
         if eval_scores[name] is None:
             continue
@@ -301,6 +332,20 @@ def main():
             np.savetxt(out, vals, delimiter=",")
             print(f"final voxel chamfer (x1e4): {vals.mean():.4f} -> {out}")
     print(f"{COLORS.OKGREEN}training complete{COLORS.ENDC}")
+
+
+def _gather_host(tree):
+    """Host copies of (possibly cross-process sharded) arrays; multi-host
+    allgathers the global value so eval scoring / gif rendering see the
+    full batch on the coordinator."""
+    import jax
+    import numpy as np
+    if jax.process_count() == 1:
+        return jax.tree.map(np.asarray, tree)
+    from jax.experimental import multihost_utils
+    return jax.tree.map(
+        lambda a: np.asarray(multihost_utils.process_allgather(
+            a, tiled=True)), tree)
 
 
 def _to_voxels(batch, cfg):

@@ -273,7 +273,15 @@ class VoxelDecoder(nn.Module):
         # as MXU contractions — jax.image.resize gathers are ~8x slower
         from ..ops.upsample import upsample2_trilinear as upsample2
 
-        if self.use_strip:
+        # Shape-dependent routing (static at trace time): with >= ~128
+        # frames XLA solves lane starvation itself via batch-minor conv
+        # layouts (batch rides the 128 lanes; measured 1.39 ms/frame at
+        # 160 vs 2.42 at 40), so the strip form only wins below the
+        # crossover — small batches, demos/serving, and the B=4..8
+        # training microbatches (where its 1.36x backward also applies).
+        import os
+        max_frames = int(os.environ.get("NM_STRIP_MAX_FRAMES", "64"))
+        if self.use_strip and x.shape[0] <= max_frames:
             return self._strip_forward(x, upsample2)
 
         def stage(mdl, v, C, i):

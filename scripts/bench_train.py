@@ -62,6 +62,17 @@ def main():
           f"(all losses, detector+learner): "
           f"{dt * 1000:.1f} ms/step -> {B / dt:.2f} seqs/sec")
 
+    if "--trace" in sys.argv:
+        # per-op backward/trainstep breakdown (analyze with
+        # scripts/analyze_trace.py <dir>)
+        trace_dir = sys.argv[sys.argv.index("--trace") + 1]
+        jax.profiler.start_trace(trace_dir)
+        for _ in range(3):
+            state, metrics = step(state, batch, sk)
+        float(metrics["total_loss"])
+        jax.profiler.stop_trace()
+        print(f"trace written to {trace_dir}")
+
 
 if __name__ == "__main__":
     main()

@@ -274,3 +274,108 @@ def strip_conv3_split(xp: jnp.ndarray, kernel: jnp.ndarray, bias, S: int
     if bias is not None:
         y = y + jnp.tile(bias, S)
     return y
+
+
+def strip_convk_split(xp: jnp.ndarray, kernel: jnp.ndarray, bias, S: int
+                      ) -> jnp.ndarray:
+    """Assembly-free SAME odd-k conv3d on a strip-packed tensor —
+    generalizes :func:`strip_conv3_split` to k in {3, 5, ...} with halo
+    h = (k-1)//2 <= S (the halo must fit in one neighbour strip).
+
+    Main conv2d: output plane j reads in-strip plane p with U-tap
+    ku = p - j + h (valid 0..k-1).  Edge conv2d: the previous strip's
+    last h planes (g = -h..-1) and the next strip's first h planes
+    (g = S..S+h-1), 2h*Cin lanes total.
+    """
+    k = kernel.shape[0]
+    h = (k - 1) // 2
+    assert k % 2 == 1 and h <= S, (k, S)
+    N, Us, V, W, SC = xp.shape
+    Cin = SC // S
+    Cout = kernel.shape[-1]
+    zeros = jnp.zeros_like(kernel[0])          # (k, k, Cin, Cout)
+
+    rows = []
+    for p in range(S):
+        row = [kernel[p - j + h] if abs(p - j) <= h else zeros
+               for j in range(S)]
+        rows.append(jnp.stack(row, axis=0))
+    Tm = jnp.stack(rows, axis=0).transpose(2, 3, 0, 4, 1, 5)
+    Tm = Tm.reshape(k, k, S * Cin, S * Cout)
+
+    erows = []
+    for g in list(range(-h, 0)) + list(range(S, S + h)):
+        row = [kernel[g - j + h] if abs(g - j) <= h else zeros
+               for j in range(S)]
+        erows.append(jnp.stack(row, axis=0))
+    Te = jnp.stack(erows, axis=0).transpose(2, 3, 0, 4, 1, 5)
+    Te = Te.reshape(k, k, 2 * h * Cin, S * Cout)
+
+    zrow = jnp.zeros_like(xp[:, :1, :, :, 0:h * Cin])
+    prev_last = jnp.concatenate(
+        [zrow, xp[:, :-1, :, :, (S - h) * Cin:]], axis=1)
+    next_first = jnp.concatenate(
+        [xp[:, 1:, :, :, 0:h * Cin], zrow], axis=1)
+    E = jnp.concatenate([prev_last, next_first], axis=-1)
+
+    def c2d(v, w):
+        return jax.lax.conv_general_dilated(
+            v.reshape(N * Us, V, W, v.shape[-1]), w,
+            window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=xp.dtype)
+
+    y = c2d(xp, Tm) + c2d(E, Te)
+    y = y.reshape(N, Us, V, W, S * Cout)
+    if bias is not None:
+        y = y + jnp.tile(bias, S)
+    return y
+
+
+def strip_conv1x1(xp: jnp.ndarray, kernel: jnp.ndarray, bias, S: int
+                  ) -> jnp.ndarray:
+    """1x1x1 conv on a strip-packed tensor as a block-diagonal lane
+    matmul (kron(I_S, w)).  kernel (1, 1, 1, Cin, Cout)."""
+    w = kernel[0, 0, 0]
+    Cout = w.shape[-1]
+    Wb = jnp.kron(jnp.eye(S, dtype=w.dtype), w)      # (S*Cin, S*Cout)
+    y = xp @ Wb
+    if bias is not None:
+        y = y + jnp.tile(bias, S)
+    return y
+
+
+def strip_pool2(xp: jnp.ndarray, kernel: jnp.ndarray, bias, S: int
+                ) -> jnp.ndarray:
+    """k=2 stride-2 'pool' conv (Pool3DBlock's downsample) on a packed
+    tensor: (N, Us, V, W, S*C) -> (N, Us/2, V/2, W/2, S*Cout).
+
+    Stride 2 along U maps output strip uo exactly onto input strips
+    (2uo, 2uo+1) — an aligned lane concat of two strip slices, zero
+    assembly beyond it; (V, W) remain an ordinary stride-2 conv2d.
+    kernel (2, 2, 2, C, Cout).
+    """
+    N, Us, V, W, SC = xp.shape
+    C = SC // S
+    Cout = kernel.shape[-1]
+    assert Us % 2 == 0
+    pair = jnp.concatenate([xp[:, 0::2], xp[:, 1::2]], axis=-1)
+    # window plane q (0..2S-1; q<S from the even strip) feeds output
+    # plane j with U-tap ku = q - 2j (valid 0..1)
+    zeros = jnp.zeros_like(kernel[0])                # (2, 2, C, Cout)
+    rows = []
+    for q in range(2 * S):
+        row = [kernel[q - 2 * j] if 0 <= q - 2 * j <= 1 else zeros
+               for j in range(S)]
+        rows.append(jnp.stack(row, axis=0))
+    T = jnp.stack(rows, axis=0)                      # (2S, S, 2, 2, C, Co)
+    T = T.transpose(2, 3, 0, 4, 1, 5).reshape(2, 2, 2 * SC, S * Cout)
+    y = jax.lax.conv_general_dilated(
+        pair.reshape(N * (Us // 2), V, W, 2 * SC), T,
+        window_strides=(2, 2), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=xp.dtype)
+    y = y.reshape(N, Us // 2, V // 2, W // 2, S * Cout)
+    if bias is not None:
+        y = y + jnp.tile(bias, S)
+    return y

@@ -51,7 +51,7 @@ def main():
     @jax.jit
     def encode_window(params, pts):
         vox = voxelize_jnp(pts, G).astype(dtype)
-        out = model.apply(params, vox,
+        out = model.apply(params, vox, sk,
                           method=NeuralMarionette.encode_only,
                           rngs={"sample": jax.random.PRNGKey(2)})
         return out["keypoints"], out["kypt_recon"]

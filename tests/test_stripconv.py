@@ -48,6 +48,53 @@ def test_strip_conv3_matches_conv3d(S, Cin, Cout):
                                atol=1e-5)
 
 
+def test_strip_conv1x1_and_pool2():
+    from neural_marionette_tpu.ops.stripconv import (strip_conv1x1,
+                                                     strip_pool2)
+    x = rand((2, 8, 8, 8, 6), seed=9)
+    k1 = rand((1, 1, 1, 6, 10), seed=10) * 0.3
+    b1 = rand((10,), seed=11)
+    ref = jax.lax.conv_general_dilated(
+        x, k1, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b1
+    out = unpack_strips(strip_conv1x1(pack_strips(x, 2), k1, b1, 2), 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    k2 = rand((2, 2, 2, 6, 4), seed=12) * 0.3
+    b2 = rand((4,), seed=13)
+    ref2 = jax.lax.conv_general_dilated(
+        x, k2, (2, 2, 2), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b2
+    for S in (2, 4):
+        out2 = unpack_strips(strip_pool2(pack_strips(x, S), k2, b2, S), S)
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                                   atol=1e-5)
+
+
+def test_strip_convk_split_k5_matches_conv3d():
+    from neural_marionette_tpu.ops.stripconv import strip_convk_split
+    x = rand((2, 8, 8, 8, 4), seed=20)
+    k5 = rand((5, 5, 5, 4, 8), seed=21) * 0.2
+    b5 = rand((8,), seed=22)
+    ref = jax.lax.conv_general_dilated(
+        x, k5, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b5
+    for S in (2, 4):   # h=2 <= S
+        out = unpack_strips(strip_convk_split(pack_strips(x, S), k5, b5, S),
+                            S)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4)
+    # k=3 reduces to the tested split form
+    k3 = rand((3, 3, 3, 4, 8), seed=23) * 0.2
+    ref3 = jax.lax.conv_general_dilated(
+        x, k3, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    out3 = unpack_strips(strip_convk_split(pack_strips(x, 4), k3, None, 4),
+                         4)
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(ref3),
+                               atol=1e-4)
+
+
 def test_strip_weights_zero_structure():
     k = rand((3, 3, 3, 2, 3), seed=4)
     T = strip_weights(k, 4)  # (3, 3, 24, 12)

@@ -350,32 +350,76 @@ def strip_pool2(xp: jnp.ndarray, kernel: jnp.ndarray, bias, S: int
     """k=2 stride-2 'pool' conv (Pool3DBlock's downsample) on a packed
     tensor: (N, Us, V, W, S*C) -> (N, Us/2, V/2, W/2, S*Cout).
 
-    Stride 2 along U maps output strip uo exactly onto input strips
-    (2uo, 2uo+1) — an aligned lane concat of two strip slices, zero
-    assembly beyond it; (V, W) remain an ordinary stride-2 conv2d.
+    Zero-assembly form: output strip uo reads exactly input strips
+    (2uo, 2uo+1), i.e. a k=2 stride-2 window along the STRIP axis — so
+    the whole pool is ONE conv3d over (Us, V, W) with window (2, 2, 2)
+    and stride (2, 2, 2) on the packed tensor itself.  Strip-axis tap
+    a in {0, 1} holds input plane p (of strip 2uo+a) -> output plane j
+    iff (a*S + p) - 2j is a valid original U-tap (0..1); elsewhere exact
+    zeros.  Dense-matmul overhead: S x FLOPs of the true pool (8*S^2*
+    C*Cout vs 8*S*C*Cout per position), bought back by full 128-lane
+    contractions and zero data motion (a concat-assembled variant
+    measured 2.1x SLOWER than plain conv3d; this form replaces it).
     kernel (2, 2, 2, C, Cout).
     """
     N, Us, V, W, SC = xp.shape
     C = SC // S
     Cout = kernel.shape[-1]
     assert Us % 2 == 0
-    pair = jnp.concatenate([xp[:, 0::2], xp[:, 1::2]], axis=-1)
-    # window plane q (0..2S-1; q<S from the even strip) feeds output
-    # plane j with U-tap ku = q - 2j (valid 0..1)
     zeros = jnp.zeros_like(kernel[0])                # (2, 2, C, Cout)
-    rows = []
-    for q in range(2 * S):
-        row = [kernel[q - 2 * j] if 0 <= q - 2 * j <= 1 else zeros
-               for j in range(S)]
-        rows.append(jnp.stack(row, axis=0))
-    T = jnp.stack(rows, axis=0)                      # (2S, S, 2, 2, C, Co)
-    T = T.transpose(2, 3, 0, 4, 1, 5).reshape(2, 2, 2 * SC, S * Cout)
+    taps = []
+    for a in range(2):
+        rows = []
+        for p in range(S):
+            g = a * S + p
+            row = [kernel[g - 2 * j] if 0 <= g - 2 * j <= 1 else zeros
+                   for j in range(S)]
+            rows.append(jnp.stack(row, axis=0))      # (S, 2, 2, C, Cout)
+        taps.append(jnp.stack(rows, axis=0))         # (S, S, 2, 2, C, Co)
+    T = jnp.stack(taps, axis=0)                      # (2, S, S, 2, 2, C, Co)
+    T = T.transpose(0, 3, 4, 1, 5, 2, 6).reshape(2, 2, 2, SC, S * Cout)
     y = jax.lax.conv_general_dilated(
-        pair.reshape(N * (Us // 2), V, W, 2 * SC), T,
-        window_strides=(2, 2), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        xp, T, window_strides=(2, 2, 2), padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         preferred_element_type=xp.dtype)
-    y = y.reshape(N, Us // 2, V // 2, W // 2, S * Cout)
+    if bias is not None:
+        y = y + jnp.tile(bias, S)
+    return y
+
+
+def strip_conv3_toeplitz(xp: jnp.ndarray, kernel: jnp.ndarray, bias, S: int
+                         ) -> jnp.ndarray:
+    """SAME k=3 conv3d on a strip-packed tensor as ONE conv3d over
+    (Us, V, W) — zero assembly, no edge tensor.
+
+    The strip axis gets a k=3 SAME window: strip-axis tap a in
+    {-1, 0, +1} holds input plane p (of strip us+a) -> output plane j
+    iff a*S + p - j is in {-1, 0, 1}.  The a=+-1 slabs are zero except
+    one plane (cross-strip halo), so the dense contraction costs
+    S x the true conv FLOPs (27*S^2*Cin*Cout vs 27*S*Cin*Cout) — use
+    for small S (the S=2 decoder stages) where the split form's edge
+    assembly dominates its FLOPs advantage.
+    kernel (3, 3, 3, Cin, Cout).
+    """
+    N, Us, V, W, SC = xp.shape
+    Cin = SC // S
+    Cout = kernel.shape[-1]
+    zeros = jnp.zeros_like(kernel[0])                # (3, 3, Cin, Cout)
+    taps = []
+    for a in (-1, 0, 1):
+        rows = []
+        for p in range(S):
+            row = [kernel[a * S + p - j + 1]
+                   if abs(a * S + p - j) <= 1 else zeros
+                   for j in range(S)]
+            rows.append(jnp.stack(row, axis=0))      # (S, 3, 3, Cin, Cout)
+        taps.append(jnp.stack(rows, axis=0))         # (S, S, 3, 3, Cin, Co)
+    T = jnp.stack(taps, axis=0)                      # (3, S, S, 3, 3, ...)
+    T = T.transpose(0, 3, 4, 1, 5, 2, 6).reshape(3, 3, 3, SC, S * Cout)
+    y = jax.lax.conv_general_dilated(
+        xp, T, window_strides=(1, 1, 1), padding="SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=xp.dtype)
     if bias is not None:
         y = y + jnp.tile(bias, S)
     return y

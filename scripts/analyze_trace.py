@@ -55,13 +55,20 @@ def main():
                  "scripts/bench_breakdown.py --trace <dir> or train.py "
                  "--profile_dir <dir> first)")
 
-    # process-id -> name, to keep only device (TPU/accelerator) tracks
+    # process-id -> name, to keep only device (TPU/accelerator) tracks;
+    # (pid, tid) -> thread name, to keep only LEAF op rows ("XLA Ops")
+    # and not the containing module/step spans which double-count the
+    # whole program as a single event (the former 67%-"other" artifact).
     proc_names: dict[int, str] = {}
+    thread_names: dict[tuple, str] = {}
     events = []
     for f in files:
         for e in load_events(f):
             if e.get("ph") == "M" and e.get("name") == "process_name":
                 proc_names[e["pid"]] = e.get("args", {}).get("name", "")
+            elif e.get("ph") == "M" and e.get("name") == "thread_name":
+                thread_names[(e["pid"], e.get("tid"))] = \
+                    e.get("args", {}).get("name", "")
             elif e.get("ph") == "X":
                 events.append(e)
 
@@ -73,16 +80,36 @@ def main():
     if not device_pids:  # CPU backend traces: keep everything
         device_pids = set(proc_names) or {e["pid"] for e in events}
 
+    op_threads = {k for k, v in thread_names.items()
+                  if re.search(r"XLA Ops", v, re.I) and k[0] in device_pids}
+
     by_op = defaultdict(float)
+    op_flops = defaultdict(float)
+    op_bytes = defaultdict(float)
+    op_shape: dict[str, str] = {}
     total = 0.0
     for e in events:
         if e["pid"] not in device_pids:
+            continue
+        if op_threads and (e["pid"], e.get("tid")) not in op_threads:
             continue
         dur = float(e.get("dur", 0.0))  # microseconds
         if dur <= 0:
             continue
         by_op[e["name"]] += dur
         total += dur
+        args = e.get("args") or {}
+        try:
+            op_flops[e["name"]] += float(args.get("model_flops", 0))
+        except (TypeError, ValueError):
+            pass
+        try:
+            op_bytes[e["name"]] += float(args.get("raw_bytes_accessed", 0))
+        except (TypeError, ValueError):
+            pass
+        if e["name"] not in op_shape and "shape_with_layout" in args:
+            op_shape[e["name"]] = re.sub(r"\{[^}]*\}", "",
+                                         args["shape_with_layout"])
 
     if not by_op:
         sys.exit("no device events found in the trace")
@@ -102,9 +129,13 @@ def main():
     for cat, dur in sorted(by_cat.items(), key=lambda kv: -kv[1]):
         print(f"{cat:20s} {dur / 1e3:10.2f} {100 * dur / total:6.1f}")
 
-    print(f"\n{'top op':64s} {'ms':>10s} {'%':>6s}")
+    print(f"\n{'top op':44s} {'ms':>9s} {'%':>6s} {'TF/s':>7s} "
+          f"{'GB/s':>7s}  shape")
     for name, dur in sorted(by_op.items(), key=lambda kv: -kv[1])[:top_n]:
-        print(f"{name[:64]:64s} {dur / 1e3:10.2f} {100 * dur / total:6.1f}")
+        tfs = op_flops[name] / (dur * 1e-6) / 1e12 if dur else 0.0
+        gbs = op_bytes[name] / (dur * 1e-6) / 1e9 if dur else 0.0
+        print(f"{name[:44]:44s} {dur / 1e3:9.2f} {100 * dur / total:6.1f} "
+              f"{tfs:7.1f} {gbs:7.1f}  {op_shape.get(name, '')[:40]}")
 
 
 if __name__ == "__main__":

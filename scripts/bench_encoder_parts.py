@@ -79,6 +79,23 @@ def main():
     t = loop_time(res_strip, yp32, iters=ITERS)
     print(f"Res3D strip S=4 (packed)        : {t*1e3:7.2f} ms", flush=True)
 
+    # stem WEIGHT gradient — the #1 op in the train-step trace
+    # (17.5 TF/s, 18 ms/step for the plain d/dw of the k5 stem)
+    def stem_dw_plain(x):
+        g = jax.grad(lambda w: jnp.sum(conv3d(x, w).astype(jnp.float32))
+                     * 1e-6)(w5_4)
+        return g
+    t = loop_time(stem_dw_plain, occ4, iters=ITERS)
+    print(f"stem dw plain                   : {t*1e3:7.2f} ms", flush=True)
+
+    def stem_dw_strip(x):
+        g = jax.grad(lambda w: jnp.sum(
+            strip_convk_split(x, w, None, 4).astype(jnp.float32))
+            * 1e-6)(w5_4)
+        return g
+    t = loop_time(stem_dw_strip, occp, iters=ITERS)
+    print(f"stem dw strip S=4               : {t*1e3:7.2f} ms", flush=True)
+
 
 if __name__ == "__main__":
     main()

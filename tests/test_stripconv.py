@@ -71,6 +71,21 @@ def test_strip_conv1x1_and_pool2():
                                    atol=1e-5)
 
 
+def test_strip_conv3_toeplitz_matches_conv3d():
+    from neural_marionette_tpu.ops.stripconv import strip_conv3_toeplitz
+    x = rand((2, 8, 8, 8, 5), seed=30)
+    k = rand((3, 3, 3, 5, 7), seed=31) * 0.3
+    b = rand((7,), seed=32)
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b
+    for S in (1, 2, 4):
+        out = unpack_strips(strip_conv3_toeplitz(pack_strips(x, S), k, b, S),
+                            S)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+
 def test_strip_convk_split_k5_matches_conv3d():
     from neural_marionette_tpu.ops.stripconv import strip_convk_split
     x = rand((2, 8, 8, 8, 4), seed=20)

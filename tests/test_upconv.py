@@ -1,0 +1,80 @@
+"""Fused upsample+conv (ops/upconv.py) vs the two-op reference."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from neural_marionette_tpu.ops.upconv import upconv2_trilinear, _upconv_nd
+from neural_marionette_tpu.ops.upsample import upsample2_trilinear
+
+
+def rand(shape, seed):
+    return jnp.asarray(
+        np.random.default_rng(seed).standard_normal(shape, np.float32))
+
+
+def ref_upconv(x, k, b):
+    y = jax.lax.conv_general_dilated(
+        upsample2_trilinear(x), k, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    return y + b
+
+
+@pytest.mark.parametrize("shape,cin,cout", [
+    ((2, 4, 4, 4, 5), 5, 7),
+    ((1, 8, 4, 2, 3), 3, 4),   # anisotropic, incl. minimum dim 2
+    ((1, 2, 2, 2, 2), 2, 2),   # all dims minimal: fixes overlap-free
+])
+def test_upconv2_matches_upsample_then_conv(shape, cin, cout):
+    x = rand(shape, seed=1)
+    k = rand((3, 3, 3, cin, cout), seed=2) * 0.3
+    b = rand((cout,), seed=3)
+    out = upconv2_trilinear(x, k, b)
+    ref = ref_upconv(x, k, b)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_upconv_1d_2d_building_blocks():
+    # 1D: (N, s, Cin)
+    x = rand((3, 6, 4), seed=10)
+    W = rand((3, 4, 5), seed=11) * 0.3
+    out = _upconv_nd(x, W, 1, 1)
+    # reference: upsample along axis then k=3 conv1d SAME
+    from neural_marionette_tpu.ops.upsample import _interp_matrix
+    U = _interp_matrix(6, "float32")
+    y = jnp.einsum("Ss,nsc->nSc", U, x)
+    ref = jax.lax.conv_general_dilated(
+        y, W, (1,), "SAME", dimension_numbers=("NWC", "WIO", "NWC"))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    # 2D
+    x2 = rand((2, 4, 5, 3), seed=12)
+    W2 = rand((3, 3, 3, 4), seed=13) * 0.3
+    out2 = _upconv_nd(x2, W2, 2, 2)
+    Uh = _interp_matrix(4, "float32")
+    Uw = _interp_matrix(5, "float32")
+    y2 = jnp.einsum("Hh,nhwc->nHwc", Uh, x2)
+    y2 = jnp.einsum("Ww,nhwc->nhWc", Uw, y2)
+    ref2 = jax.lax.conv_general_dilated(
+        y2, W2, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               atol=1e-4)
+
+
+def test_upconv_grad_flows():
+    x = rand((1, 4, 4, 4, 3), seed=20)
+    k = rand((3, 3, 3, 3, 2), seed=21) * 0.3
+
+    def f(kk):
+        return jnp.sum(jnp.square(upconv2_trilinear(x, kk)))
+
+    def f_ref(kk):
+        return jnp.sum(jnp.square(ref_upconv(x, kk, jnp.zeros(2))))
+
+    g = jax.grad(f)(k)
+    g_ref = jax.grad(f_ref)(k)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               atol=1e-3, rtol=1e-4)

@@ -151,6 +151,11 @@ class MarionetteConfig:
     # backend only — CPU XLA compiles the strip form pathologically
     # slowly and its conv is already fine there), 0 = off, 1 = force on
     strip_decoder: int = -1
+    # fused upsample+conv (ops/upconv.py) for the decoder's second
+    # upsample stage (32^3 64->32): measured 1.73-1.85x on hardware vs
+    # upsample2_trilinear + conv3d (scripts/bench_upconv.py); -1 = auto
+    # (TPU only), 0 = off, 1 = force on
+    upconv_decoder: int = -1
     grad_accum: int = 1  # microbatches per step (activation-memory relief)
     num_workers: int = 4   # loader threads
     n_points: int = 4096   # fixed per-frame point count shipped to device

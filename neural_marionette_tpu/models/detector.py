@@ -266,6 +266,7 @@ class VoxelDecoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat_stages: bool = False
     use_strip: bool = True
+    use_upconv: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -292,14 +293,38 @@ class VoxelDecoder(nn.Module):
                              name=f"GroupNorm_{i}")(v)
             return leaky_relu(v)
 
+        def upstage(mdl, v, Cin, C, i):
+            # fused upsample2+conv as one coarse-grid conv (ops/upconv.py;
+            # same params/names as the two-op stage, exact same math):
+            # measured 1.73x (40 frames) / 1.85x (160) on hardware.  Only
+            # the SECOND upsample stage routes here — the first
+            # (128->64 @16^3) measured 0.94x fused (scripts/bench_upconv).
+            from ..ops.upconv import upconv2_trilinear
+            k, b = _ConvParams(C, (3, 3, 3), name=f"Conv_{i}")(Cin)
+            # cast down BEFORE the fused op: the previous stage's
+            # GroupNorm emits f32, and unlike the two-op path (where
+            # Conv's promote_dtype downcasts at the conv input) nothing
+            # else here pulls the convert up — without this the pixel
+            # shuffle materialises 8 GB f32 temps at B=16 (measured
+            # compile-time OOM, 17.6 G > 15.75 G HBM).
+            v = upconv2_trilinear(v.astype(mdl.dtype), k.astype(mdl.dtype),
+                                  b.astype(mdl.dtype))
+            v = nn.GroupNorm(num_groups=max(C // 16, 1), epsilon=1e-5,
+                             name=f"GroupNorm_{i}")(v)
+            return leaky_relu(v)
+
         if self.remat_stages:
             stage = nn.remat(stage, static_argnums=(2, 3))
+            upstage = nn.remat(upstage, static_argnums=(2, 3, 4))
 
         x = upsample2(x)
         x = stage(self, x, self.feat_dim // 2, 0)
         x = stage(self, x, self.feat_dim // 2, 1)
-        x = upsample2(x)
-        x = stage(self, x, self.feat_dim // 4, 2)
+        if self.use_upconv:
+            x = upstage(self, x, self.feat_dim // 2, self.feat_dim // 4, 2)
+        else:
+            x = upsample2(x)
+            x = stage(self, x, self.feat_dim // 4, 2)
         x = stage(self, x, self.feat_dim // 4, 3)
         return nn.Conv(1, (1, 1, 1), kernel_init=PLAIN_CONV_INIT,
                        bias_init=zeros_init(), dtype=self.dtype,
@@ -395,9 +420,13 @@ class KyptToVoxNet(nn.Module):
         strip = cfg.strip_decoder
         use_strip = (jax.default_backend() == "tpu") if strip == -1 \
             else bool(strip)
+        upconv = cfg.upconv_decoder
+        use_upconv = (jax.default_backend() == "tpu") if upconv == -1 \
+            else bool(upconv)
         logits = decoder_cls(feat_dim, dtype=self.dtype,
                              remat_stages=cfg.remat >= 2,
-                             use_strip=use_strip)(x)
+                             use_strip=use_strip,
+                             use_upconv=use_upconv)(x)
 
         ff0 = jnp.broadcast_to(first_frame[:, None],
                                (B, T) + first_frame.shape[1:])

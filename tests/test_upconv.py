@@ -64,6 +64,38 @@ def test_upconv_1d_2d_building_blocks():
                                atol=1e-4)
 
 
+def test_voxel_decoder_upconv_equivalence():
+    """use_upconv routes stage 2 through the fused op: identical param
+    tree, same forward and gradients as the two-op plain decoder."""
+    from neural_marionette_tpu.models.detector import VoxelDecoder
+    x = rand((2, 8, 8, 8, 32), seed=7)
+    plain = VoxelDecoder(feat_dim=32, use_strip=False, use_upconv=False)
+    fused = VoxelDecoder(feat_dim=32, use_strip=False, use_upconv=True)
+    p1 = plain.init(jax.random.PRNGKey(0), x)
+    p2 = fused.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(p1) == \
+        jax.tree_util.tree_structure(p2)
+    for v1, v2 in zip(jax.tree_util.tree_leaves(p1),
+                      jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+    y1, y2 = plain.apply(p1, x), fused.apply(p1, x)
+    assert y2.shape == y1.shape == (2, 32, 32, 32, 1)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=3e-5)
+
+    g1 = jax.grad(lambda p: jnp.sum(plain.apply(p, x) ** 2))(p1)
+    g2 = jax.grad(lambda p: jnp.sum(fused.apply(p, x) ** 2))(p1)
+    for v1, v2 in zip(jax.tree_util.tree_leaves(g1),
+                      jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   atol=2e-3, rtol=1e-3)
+
+    # remat variant identical to the non-remat fused path
+    y3 = VoxelDecoder(feat_dim=32, use_strip=False, use_upconv=True,
+                      remat_stages=True).apply(p1, x)
+    np.testing.assert_allclose(np.asarray(y3), np.asarray(y2), atol=1e-6)
+
+
 def test_upconv_grad_flows():
     x = rand((1, 4, 4, 4, 3), seed=20)
     k = rand((3, 3, 3, 3, 2), seed=21) * 0.3

@@ -156,6 +156,12 @@ class MarionetteConfig:
     # upsample2_trilinear + conv3d (scripts/bench_upconv.py); -1 = auto
     # (TPU only), 0 = off, 1 = force on
     upconv_decoder: int = -1
+    # strip-packed encoder front end (stem + first pool lane-packed at
+    # the full grid; ops/stripconv + coord-split field): measured stem
+    # fwd 9.6->5.5 ms / wgrad 17.9->2.7 ms, pool 4.5->2.2 ms at 40
+    # frames (scripts/bench_encoder_parts.py); -1 = auto (TPU only),
+    # 0 = off, 1 = force on
+    strip_encoder: int = -1
     grad_accum: int = 1  # microbatches per step (activation-memory relief)
     num_workers: int = 4   # loader threads
     n_points: int = 4096   # fixed per-frame point count shipped to device

@@ -36,22 +36,101 @@ def group_norm(C: int):
     return nn.GroupNorm(num_groups=max(C // 16, 1), epsilon=1e-5)
 
 
+class _ConvParams(nn.Module):
+    """Owns a conv's kernel/bias WITHOUT computing the conv (used by paths
+    that compute the conv themselves: the strip decoder, the coord-split
+    stem).  Same param names/shapes/init as nn.Conv, and instantiated
+    under the same pinned name, so the parameter tree and checkpoints are
+    identical across paths."""
+    features: int
+    kernel_size: tuple
+    kernel_init: Callable = None  # default set in __call__ (dataclass rule)
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        init = self.kernel_init or PLAIN_CONV_INIT
+        k = self.param("kernel", init,
+                       tuple(self.kernel_size) + (in_features,
+                                                  self.features))
+        b = self.param("bias", zeros_init(), (self.features,))
+        return k, b
+
+
+class _GroupNormParams(nn.Module):
+    """scale/bias of nn.GroupNorm, under the same pinned name."""
+    @nn.compact
+    def __call__(self, C: int):
+        scale = self.param("scale", nn.initializers.ones_init(), (C,))
+        bias = self.param("bias", zeros_init(), (C,))
+        return scale, bias
+
+
 class Basic3DBlock(nn.Module):
     """Conv3d(k, same) -> GroupNorm(C/16) -> LeakyReLU.
 
     Reference modules/vox_modules.py:8-19.
+
+    ``split_coords``: the caller passes ``x`` WITHOUT the trailing D
+    coordinate channels of ``add_coord_channels`` (reference
+    utils/kypt_detector_utils.py:4-26); the conv kernel still has Cin+D
+    input channels (identical param tree / checkpoints).  In the plain
+    path the block simply appends the coords itself (identical graph to
+    concat-at-the-caller; a decomposed conv(vox)+conv(coords) form
+    measured SLOWER on hardware — 19.5 vs 9.6 ms at 40 frames — because a
+    Cin=1 conv3d is even more lane-starved than Cin=4,
+    scripts/bench_encoder_parts.py).
+
+    ``strip``: strip-packed input/output (ops/stripconv): ``x`` is
+    ``pack_strips(vox, S)`` WITHOUT coord channels (requires
+    ``split_coords``); the conv runs as the full-lane
+    ``strip_convk_split`` on the occupancy plus a ONE-frame coordinate
+    field (the CoordConv decomposition pays off here: measured
+    fwd 9.6 -> 5.5 ms, weight-grad 17.9 -> 2.7 ms at 40 frames), and
+    GroupNorm runs packed (``strip_group_norm_fast``).
     """
     out_channels: int
     kernel_size: int
     dtype: jnp.dtype = jnp.float32
+    split_coords: bool = False
+    strip: int = 0
 
     @nn.compact
     def __call__(self, x):
-        x = Conv(self.out_channels, (self.kernel_size,) * 3,
+        C = self.out_channels
+        if self.strip:
+            assert self.split_coords, "strip stem requires split_coords"
+            from ..ops.stripconv import strip_group_norm_fast
+            x = self._strip_coord_conv(x)
+            sc, bi = _GroupNormParams(name="GroupNorm_0")(C)
+            return leaky_relu(strip_group_norm_fast(
+                x, sc, bi, max(C // 16, 1), self.strip))
+        if self.split_coords:
+            from ..ops.coords import add_coord_channels
+            x = add_coord_channels(x)
+        x = Conv(C, (self.kernel_size,) * 3,
                  padding="SAME", kernel_init=BLOCK_CONV_INIT,
                  bias_init=zeros_init(), dtype=self.dtype)(x)
-        x = group_norm(self.out_channels)(x)
+        x = group_norm(C)(x)
         return leaky_relu(x)
+
+    def _strip_coord_conv(self, xp):
+        from flax.linen.dtypes import promote_dtype
+        from ..ops.coords import coord_maps
+        from ..ops.stripconv import pack_strips, strip_convk_split
+
+        S = self.strip
+        N, Us, V, W, SC = xp.shape
+        Cin = SC // S
+        ks = (self.kernel_size,) * 3
+        k, b = _ConvParams(self.out_channels, ks,
+                           kernel_init=BLOCK_CONV_INIT, name="Conv_0")(
+                               Cin + 3)
+        xp, k, b = promote_dtype(xp, k, b, dtype=self.dtype)
+        out = strip_convk_split(xp, k[..., :Cin, :], None, S)
+        coords = coord_maps((Us * S, V, W), xp.dtype)[None]  # (1,*S,3)
+        field = strip_convk_split(pack_strips(coords, S),
+                                  k[..., Cin:, :], None, S)
+        return out + field + jnp.tile(b, S)
 
 
 class Res3DBlock(nn.Module):
@@ -93,14 +172,33 @@ class Pool3DBlock(nn.Module):
     """Strided-conv downsample (kernel=stride=pool) + GN + LeakyReLU.
 
     Reference modules/vox_modules.py:49-61 (not actual pooling).
+
+    ``strip``: strip-packed input/output (ops/stripconv.strip_pool2 +
+    strip_group_norm_fast) — measured 4.5 -> 2.2 ms at 40 frames 64^3
+    C=32 (scripts/bench_encoder_parts.py).  Only pool_size=2 supported.
     """
     pool_size: int
     dtype: jnp.dtype = jnp.float32
+    strip: int = 0
 
     @nn.compact
     def __call__(self, x):
-        C = x.shape[-1]
         p = self.pool_size
+        if self.strip:
+            assert p == 2, "strip pool supports pool_size=2"
+            from flax.linen.dtypes import promote_dtype
+            from ..ops.stripconv import strip_pool2, strip_group_norm_fast
+            S = self.strip
+            C = x.shape[-1] // S
+            k, b = _ConvParams(C, (p, p, p),
+                               kernel_init=BLOCK_CONV_INIT,
+                               name="Conv_0")(C)
+            x, k, b = promote_dtype(x, k, b, dtype=self.dtype)
+            x = strip_pool2(x, k, b, S)
+            sc, bi = _GroupNormParams(name="GroupNorm_0")(C)
+            return leaky_relu(strip_group_norm_fast(
+                x, sc, bi, max(C // 16, 1), S))
+        C = x.shape[-1]
         x = nn.Conv(C, (p, p, p), strides=(p, p, p), padding="VALID",
                     kernel_init=BLOCK_CONV_INIT, bias_init=zeros_init(),
                     dtype=self.dtype)(x)

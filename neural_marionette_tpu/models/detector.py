@@ -51,6 +51,8 @@ class FeatureNet(nn.Module):
     grid_size: int
     dtype: jnp.dtype = jnp.float32
     remat_stages: bool = False
+    split_coords: bool = False  # input arrives WITHOUT coord channels
+    use_strip: bool = False     # strip-packed 64^3 front (stem + pool)
 
     @nn.compact
     def __call__(self, x):
@@ -58,9 +60,43 @@ class FeatureNet(nn.Module):
         # class-level nn.remat renames children (Checkpoint<cls>_i), so
         # names are pinned to the un-wrapped auto-names explicitly
         wrap = nn.remat if self.remat_stages else (lambda cls: cls)
-        x = wrap(Basic3DBlock)(C // 4, 5, dtype=self.dtype,
-                               name="Basic3DBlock_0")(x)
-        x = wrap(Pool3DBlock)(2, dtype=self.dtype, name="Pool3DBlock_0")(x)
+
+        # Strip-packed front end: the full-grid stages (stem k5 conv,
+        # GN, pool) run lane-packed so the C=32 @64^3 tensors use all
+        # 128 MXU lanes instead of 32/128 (4x HBM padding waste).
+        # Measured at 40 frames bf16 (scripts/bench_encoder_parts.py):
+        # stem fwd 9.6 -> 5.5 ms / wgrad 17.9 -> 2.7 ms (coord-split
+        # one-frame field), pool 4.5 -> 2.2 ms.  Unpacks at grid/2 where
+        # tensors are 8x smaller.  Res blocks measured ~par (1.14x) and
+        # stay plain.
+        stem_C = C // 4
+        S = max(128 // stem_C, 1)
+        while S > 2 and self.grid_size % (2 * S) != 0:
+            S //= 2
+        # S >= 2: the k5 halo (2 planes) must fit in one neighbour strip;
+        # grid % 2S == 0: strip_pool2 consumes strip pairs
+        strip_ok = S >= 2 and self.grid_size % (2 * S) == 0
+        # same frame-count crossover as the decoder: at >= ~128 folded
+        # frames XLA's batch-minor conv layouts fix lane starvation on
+        # their own (BASELINE.md)
+        import os
+        max_frames = int(os.environ.get("NM_STRIP_MAX_FRAMES", "64"))
+        if self.use_strip and self.split_coords and strip_ok \
+                and x.shape[0] <= max_frames:
+            from ..ops.stripconv import pack_strips, unpack_strips
+            xp = pack_strips(x, S)
+            xp = wrap(Basic3DBlock)(stem_C, 5, dtype=self.dtype,
+                                    split_coords=True, strip=S,
+                                    name="Basic3DBlock_0")(xp)
+            xp = wrap(Pool3DBlock)(2, dtype=self.dtype, strip=S,
+                                   name="Pool3DBlock_0")(xp)
+            x = unpack_strips(xp, S)
+        else:
+            x = wrap(Basic3DBlock)(stem_C, 5, dtype=self.dtype,
+                                   split_coords=self.split_coords,
+                                   name="Basic3DBlock_0")(x)
+            x = wrap(Pool3DBlock)(2, dtype=self.dtype,
+                                  name="Pool3DBlock_0")(x)
         x = wrap(Res3DBlock)(C // 2, dtype=self.dtype,
                              name="Res3DBlock_0")(x)
         x = wrap(Pool3DBlock)(2, dtype=self.dtype, name="Pool3DBlock_1")(x)
@@ -114,9 +150,17 @@ class VoxToKyptNet(nn.Module):
         # peak to one stage — measured 16.2G vs 26G+ for B=8 accum=1, at
         # the cost of ~2G extra at B=4; see BASELINE.md)
         feature_cls = nn.remat(FeatureNet) if cfg.remat else FeatureNet
+        # split_coords: the coord channels enter inside the stem (see
+        # Basic3DBlock) — same params, same math; enables the strip
+        # front end's one-frame coordinate field
+        se = cfg.strip_encoder
+        use_strip_enc = (jax.default_backend() == "tpu") if se == -1 \
+            else bool(se)
         self.extract_features = feature_cls(self.feat_dim, cfg.grid_size,
                                             dtype=self.dtype,
-                                            remat_stages=cfg.remat >= 2)
+                                            remat_stages=cfg.remat >= 2,
+                                            split_coords=True,
+                                            use_strip=use_strip_enc)
         self.extract_heatmaps = HeatmapHead(
             cfg.nkeypoints, act=("leakyrelu" if ci else "softplus"),
             dtype=self.dtype)
@@ -130,7 +174,8 @@ class VoxToKyptNet(nn.Module):
         elif ci in (2, 3, 4):
             self.extract_st_features = feature_cls(
                 self.feat_dim * 2, cfg.grid_size, dtype=self.dtype,
-                remat_stages=cfg.remat >= 2)
+                remat_stages=cfg.remat >= 2, split_coords=True,
+                use_strip=use_strip_enc)
             self.extract_st_heatmaps = HeatmapHead(
                 cfg.nkeypoints, act="leakyrelu", dtype=self.dtype)
         if ci:
@@ -169,9 +214,8 @@ class VoxToKyptNet(nn.Module):
                 (B,) + self.initial_heatmaps.shape)
         elif ci in (2, 3):
             seq_summed = jnp.mean(seq, axis=1)  # (B, G, G, G, 1)
-            obs = add_coord_channels(seq_summed)
             prev_heatmap = self.extract_st_heatmaps(
-                self.extract_st_features(obs))
+                self.extract_st_features(seq_summed))
         elif ci == 4:
             # motion saliency: dynamic voxels ~1, static ~1/T, masked to the
             # union of occupancy (reference kypt_detector.py:317-326; the
@@ -179,13 +223,12 @@ class VoxToKyptNet(nn.Module):
             # working full-sequence path).
             seq_summed = 1.0 - jnp.mean(seq, axis=1) + 1.0 / T
             seq_summed = seq_summed * jnp.clip(jnp.sum(seq, axis=1), 0, 1)
-            obs = add_coord_channels(seq_summed)
             prev_heatmap = self.extract_st_heatmaps(
-                self.extract_st_features(obs))
+                self.extract_st_features(seq_summed))
 
-        # batched per-frame conv stack over folded (B*T)
-        obs = add_coord_channels(_fold_time(seq))
-        features = self.extract_features(obs)  # (B*T, g, g, g, 128)
+        # batched per-frame conv stack over folded (B*T); coord channels
+        # enter inside the stem via the split-CoordConv decomposition
+        features = self.extract_features(_fold_time(seq))
         heatmaps = self.extract_heatmaps(features)  # (B*T, g, g, g, K)
         heatmaps = _unfold_time(heatmaps, B, T)
         first_feature = _unfold_time(features, B, T)[:, 0]
@@ -209,30 +252,8 @@ class VoxToKyptNet(nn.Module):
         return heatmaps, keypoints, gaussians, first_feature
 
 
-class _ConvParams(nn.Module):
-    """Owns a conv's kernel/bias WITHOUT computing the conv (the strip
-    decoder computes it via ops.stripconv).  Same param names/shapes/init
-    as nn.Conv, and instantiated under the same pinned name, so the
-    parameter tree and checkpoints are identical across paths."""
-    features: int
-    kernel_size: tuple
-
-    @nn.compact
-    def __call__(self, in_features: int):
-        k = self.param("kernel", PLAIN_CONV_INIT,
-                       tuple(self.kernel_size) + (in_features,
-                                                  self.features))
-        b = self.param("bias", zeros_init(), (self.features,))
-        return k, b
-
-
-class _GroupNormParams(nn.Module):
-    """scale/bias of nn.GroupNorm, under the same pinned name."""
-    @nn.compact
-    def __call__(self, C: int):
-        scale = self.param("scale", nn.initializers.ones_init(), (C,))
-        bias = self.param("bias", zeros_init(), (C,))
-        return scale, bias
+# param-only modules shared with the strip encoder/decoder paths
+from .blocks import _ConvParams, _GroupNormParams
 
 
 def _strip_size(U: int, Cout: int) -> int:

@@ -182,16 +182,19 @@ def strip_group_norm_fast(xp: jnp.ndarray, scale: jnp.ndarray,
     N, Us, V, W, SC = xp.shape
     C = SC // S
     gs = C // num_groups
+    # f32 stats for bf16/f32 inputs (flax GroupNorm semantics); promotes
+    # to f64 under x64 so exact-equivalence tests can compare at 1e-10
+    stat_dtype = jnp.promote_types(xp.dtype, jnp.float32)
     sel = np.zeros((SC, num_groups), np.float32)
     sel[np.arange(SC), (np.arange(SC) % C) // gs] = 1.0
-    sel = jnp.asarray(sel)
+    sel = jnp.asarray(sel, dtype=stat_dtype)
 
     # per-lane sums with f32 accumulation (bf16 products are exact in
     # f32); leading-axis-first reduction order measured fastest on TPU
     # (scripts/bench_gnstats.py)
-    s1_lane = jnp.sum(xp, axis=(1, 2, 3), dtype=jnp.float32)      # (N, SC)
+    s1_lane = jnp.sum(xp, axis=(1, 2, 3), dtype=stat_dtype)       # (N, SC)
     s2_lane = jnp.einsum("nuvwk,nuvwk->nk", xp, xp,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=stat_dtype)
     s1 = s1_lane @ sel                                            # (N, G)
     s2 = s2_lane @ sel
     count = Us * V * W * S * gs
@@ -199,8 +202,8 @@ def strip_group_norm_fast(xp: jnp.ndarray, scale: jnp.ndarray,
     var = jnp.maximum(s2 / count - jnp.square(mean), 0.0)
     rstd = jax.lax.rsqrt(var + eps)                               # (N, G)
 
-    gamma = jnp.tile(scale.astype(jnp.float32), S)                # (SC,)
-    beta = jnp.tile(bias.astype(jnp.float32), S)
+    gamma = jnp.tile(scale.astype(stat_dtype), S)                 # (SC,)
+    beta = jnp.tile(bias.astype(stat_dtype), S)
     a = (rstd @ sel.T) * gamma[None]                              # (N, SC)
     b = beta[None] - (mean * rstd) @ sel.T * gamma[None]
     y = xp * a[:, None, None, None, :].astype(xp.dtype) \

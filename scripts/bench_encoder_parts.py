@@ -1,6 +1,6 @@
 """Micro-bench: encoder stage candidates (stem / pools / Res blocks).
 
-Flagship shapes, 40 frames bf16.  One TPU process at a time.
+Flagship shapes, NM_FRAMES frames (default 40) bf16.  One TPU process at a time.
 """
 import os
 import sys
@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from neural_marionette_tpu.utils.profiling import loop_time
 
 ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+FRAMES = int(os.environ.get("NM_FRAMES", "40"))
 dt = jnp.bfloat16
 
 
@@ -26,7 +27,7 @@ def conv3d(x, w, stride=1):
 
 def main():
     k = jax.random.PRNGKey(0)
-    occ4 = jax.random.normal(k, (40, 64, 64, 64, 4), dt)
+    occ4 = jax.random.normal(k, (FRAMES, 64, 64, 64, 4), dt)
     w5_4 = jax.random.normal(k, (5, 5, 5, 4, 32), dt) * 0.1
     t = loop_time(lambda x: conv3d(x, w5_4), occ4, iters=ITERS)
     print(f"stem conv3d k5 4->32 @64^3      : {t*1e3:7.2f} ms", flush=True)
@@ -42,7 +43,7 @@ def main():
     print(f"stem strip k5 S=4 (packed)      : {t*1e3:7.2f} ms", flush=True)
 
     # pool conv k2 s2 32->32 @64^3
-    x32 = jax.random.normal(k, (40, 64, 64, 64, 32), dt)
+    x32 = jax.random.normal(k, (FRAMES, 64, 64, 64, 32), dt)
     wp = jax.random.normal(k, (2, 2, 2, 32, 32), dt) * 0.1
     t = loop_time(lambda x: conv3d(x, wp, stride=2), x32, iters=ITERS)
     print(f"pool conv k2s2 32->32 @64^3     : {t*1e3:7.2f} ms", flush=True)
@@ -54,7 +55,7 @@ def main():
     print(f"strip pool2 S=4 (packed)        : {t*1e3:7.2f} ms", flush=True)
 
     # Res3D @32^3: conv3 32->64, conv3 64->64, 1x1 skip 32->64
-    y32 = jax.random.normal(k, (40, 32, 32, 32, 32), dt)
+    y32 = jax.random.normal(k, (FRAMES, 32, 32, 32, 32), dt)
     wa = jax.random.normal(k, (3, 3, 3, 32, 64), dt) * 0.1
     wb = jax.random.normal(k, (3, 3, 3, 64, 64), dt) * 0.1
     ws = jax.random.normal(k, (1, 1, 1, 32, 64), dt) * 0.1
@@ -95,6 +96,52 @@ def main():
         return g
     t = loop_time(stem_dw_strip, occp, iters=ITERS)
     print(f"stem dw strip S=4               : {t*1e3:7.2f} ms", flush=True)
+
+    # coord-split stem (models/blocks.Basic3DBlock.split_coords):
+    # conv(vox Cin=1) + one-frame coord field.  fwd AND dw.
+    occ1 = occ4[..., :1]
+    coords = occ4[..., 1:]  # stand-in constant field (same shapes)
+
+    def coordsplit_fwd(x):
+        out = conv3d(x, w5_4[..., :1, :])
+        field = conv3d(coords[:1], w5_4[..., 1:, :])
+        return out + field
+
+    t = loop_time(coordsplit_fwd, occ1, iters=ITERS)
+    print(f"stem coord-split fwd            : {t*1e3:7.2f} ms", flush=True)
+
+    def coordsplit_dw(x):
+        def f(w):
+            out = conv3d(x, w[..., :1, :])
+            field = conv3d(coords[:1], w[..., 1:, :])
+            return jnp.sum((out + field).astype(jnp.float32)) * 1e-6
+        return jax.grad(f)(w5_4)
+
+    t = loop_time(coordsplit_dw, occ1, iters=ITERS)
+    print(f"stem coord-split dw             : {t*1e3:7.2f} ms", flush=True)
+
+    # coord-split STRIP stem: strip conv on Cin=1 packed + coord field
+    occ1p = pack_strips(occ1, 4)  # (40, 16, 64, 64, 4)
+
+    def coordsplit_strip_fwd(x):
+        out = strip_convk_split(x, w5_4[..., :1, :], None, 4)
+        field = strip_convk_split(pack_strips(coords[:1], 4),
+                                  w5_4[..., 1:, :], None, 4)
+        return out + field
+
+    t = loop_time(coordsplit_strip_fwd, occ1p, iters=ITERS)
+    print(f"stem coord-split strip fwd S=4  : {t*1e3:7.2f} ms", flush=True)
+
+    def coordsplit_strip_dw(x):
+        def f(w):
+            out = strip_convk_split(x, w[..., :1, :], None, 4)
+            field = strip_convk_split(pack_strips(coords[:1], 4),
+                                      w[..., 1:, :], None, 4)
+            return jnp.sum((out + field).astype(jnp.float32)) * 1e-6
+        return jax.grad(f)(w5_4)
+
+    t = loop_time(coordsplit_strip_dw, occ1p, iters=ITERS)
+    print(f"stem coord-split strip dw S=4   : {t*1e3:7.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -275,3 +275,90 @@ def test_interpolate_scan_matches_eager_oracle():
     assert scanned.shape == (1, T, K, 4)
     np.testing.assert_allclose(np.asarray(scanned), np.asarray(eager),
                                rtol=0, atol=1e-6)
+
+
+def test_coord_split_stem_equivalence():
+    """The coord-split stem (Basic3DBlock.split_coords) is the SAME
+    function as conv-on-concat: identical param tree, outputs equal,
+    gradients equal.  The decomposition only changes WHERE the constant
+    coordinate channels enter (one broadcast frame vs per batch row)."""
+    from neural_marionette_tpu.models.blocks import Basic3DBlock
+    from neural_marionette_tpu.ops import add_coord_channels
+
+    g = np.random.default_rng(3)
+    x = jnp.asarray(g.normal(size=(4, 8, 8, 8, 2)).astype(np.float32))
+    xc = add_coord_channels(x)  # (4, 8, 8, 8, 5)
+
+    plain = Basic3DBlock(16, 5)
+    split = Basic3DBlock(16, 5, split_coords=True)
+    p1 = plain.init(jax.random.PRNGKey(0), xc)
+    p2 = split.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(p1) == \
+        jax.tree_util.tree_structure(p2)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    y1 = plain.apply(p1, xc)
+    y2 = split.apply(p1, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+    g1 = jax.grad(lambda p: jnp.sum(plain.apply(p, xc) ** 2))(p1)
+    g2 = jax.grad(lambda p: jnp.sum(split.apply(p, x) ** 2))(p1)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        # f32 reassociation only: conv-over-5ch vs split 2ch+3ch partial
+        # sums (grads here are O(1e3), so rtol is the meaningful bound)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-2, rtol=1e-4)
+
+
+def test_featurenet_strip_front_equivalence():
+    """The strip-packed encoder front (stem + pool lane-packed,
+    coord-split one-frame field) computes the SAME function as the plain
+    path: identical param tree, matching outputs and parameter grads.
+
+    The grad comparison runs in float64: in f32 the strip path's
+    different conv partial-sum order leaves ~3e-4 reassociation noise
+    after the deep encoder (measured), which would force tolerances too
+    loose to catch real bugs.  f64 collapses true equivalence to ~1e-10.
+    """
+    from neural_marionette_tpu.models.detector import FeatureNet
+
+    g = np.random.default_rng(5)
+    x = jnp.asarray((g.uniform(size=(2, 32, 32, 32, 1)) < 0.2)
+                    .astype(np.float32))
+    plain = FeatureNet(32, 32, split_coords=True, use_strip=False)
+    strip = FeatureNet(32, 32, split_coords=True, use_strip=True)
+    p1 = plain.init(jax.random.PRNGKey(0), x)
+    p2 = strip.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(p1) == \
+        jax.tree_util.tree_structure(p2)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    y1 = plain.apply(p1, x)
+    y2 = strip.apply(p1, x)
+    assert y1.shape == y2.shape
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               atol=2e-5, rtol=1e-5)
+
+    with jax.enable_x64(True):
+        plain64 = FeatureNet(32, 32, split_coords=True, use_strip=False,
+                             dtype=jnp.float64)
+        strip64 = FeatureNet(32, 32, split_coords=True, use_strip=True,
+                             dtype=jnp.float64)
+        p64 = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(np.asarray(a), jnp.float64), p1)
+        x64 = jnp.asarray(np.asarray(x), jnp.float64)
+        y1 = plain64.apply(p64, x64)
+        y2 = strip64.apply(p64, x64)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                   atol=1e-12, rtol=1e-12)
+        g1 = jax.grad(lambda p: jnp.mean(plain64.apply(p, x64) ** 2))(p64)
+        g2 = jax.grad(lambda p: jnp.mean(strip64.apply(p, x64) ** 2))(p64)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-10, rtol=1e-10)

@@ -92,6 +92,10 @@ def volume_fitting_loss(seq: jnp.ndarray, keypoints: jnp.ndarray,
         v2 = jnp.sum(V * V, axis=-1)                 # (G^3,)
         occ_flat = occ.reshape(B, T, -1)             # (B, T, G^3)
 
+        # checkpoint: without it the lax.map stores the (T, G^3, B, K)
+        # dots tensor (1.0 GB f32 at the flagship point) as backward
+        # residuals; recomputing the 1.5-GFLOP matmul is ~free
+        @jax.checkpoint
         def timestep(args):
             kp_t, occ_t = args                       # (B, K, 3), (B, G^3)
             dots = jnp.dot(V, kp_t.reshape(B * K, 3).T,

@@ -27,6 +27,8 @@ formulation accelerates the backward pass in training.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -253,6 +255,10 @@ def strip_conv3_split(xp: jnp.ndarray, kernel: jnp.ndarray, bias, S: int
     conv2d over xp itself plus an edge conv2d over the small
     [prev-last-plane | next-first-plane] tensor (2*Cin lanes).
     """
+    if os.environ.get("NM_STRIP_V2", "1") != "0":
+        # v2 default: measured decoder fwd 63.9->50.8 ms, fwd+bwd
+        # 136.7->104.7 ms at 40 frames bf16 (scripts/bench_stripconv.py)
+        return strip_convk_split2(xp, kernel, bias, S)
     N, Us, V, W, SC = xp.shape
     Cin = SC // S
     Cout = kernel.shape[-1]
@@ -290,6 +296,10 @@ def strip_convk_split(xp: jnp.ndarray, kernel: jnp.ndarray, bias, S: int
     last h planes (g = -h..-1) and the next strip's first h planes
     (g = S..S+h-1), 2h*Cin lanes total.
     """
+    if os.environ.get("NM_STRIP_V2", "1") != "0":
+        # v2 default: measured decoder fwd 63.9->50.8 ms, fwd+bwd
+        # 136.7->104.7 ms at 40 frames bf16 (scripts/bench_stripconv.py)
+        return strip_convk_split2(xp, kernel, bias, S)
     k = kernel.shape[0]
     h = (k - 1) // 2
     assert k % 2 == 1 and h <= S, (k, S)
@@ -423,6 +433,71 @@ def strip_conv3_toeplitz(xp: jnp.ndarray, kernel: jnp.ndarray, bias, S: int
         xp, T, window_strides=(1, 1, 1), padding="SAME",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         preferred_element_type=xp.dtype)
+    if bias is not None:
+        y = y + jnp.tile(bias, S)
+    return y
+
+
+def _edge_sel_kernel(SC: int, Cin: int, S: int, h: int, dtype) -> jnp.ndarray:
+    """(3, 1, 1, S*Cin, 2h*Cin) selection-conv kernel assembling the
+    cross-strip halo tensor E of :func:`strip_convk_split` as ONE conv3d
+    over the packed tensor (strip-axis window 3, SAME padding = the
+    boundary zeros).  Tap a=0 reads strip us-1 (its last h planes), tap
+    a=2 reads strip us+1 (its first h planes); tap a=1 is zero."""
+    import numpy as np
+    K = np.zeros((3, 1, 1, SC, 2 * h * Cin), np.float32)
+    idx = np.arange(h * Cin)
+    K[0, 0, 0, (S - h) * Cin + idx, idx] = 1.0
+    K[2, 0, 0, idx, h * Cin + idx] = 1.0
+    return jnp.asarray(K, dtype)
+
+
+def strip_convk_split2(xp: jnp.ndarray, kernel: jnp.ndarray, bias, S: int
+                       ) -> jnp.ndarray:
+    """:func:`strip_convk_split` with two measured TPU fixes (identical
+    math; hardware A/B in scripts/bench_stripconv.py):
+
+    * the halo tensor E is built by a tiny (3, 1, 1) selection conv
+      (``_edge_sel_kernel``, FLOPs ~ 1/6 of the main conv) instead of
+      minor-dim lane slices + concat — the slices lower to loop fusions
+      that re-read the ENTIRE packed tensor at ~1/2 HBM bandwidth
+      (~23 ms/trainstep in the round-3 trace);
+    * every conv runs as conv3d with a size-1 strip-axis window directly
+      on the 5-D packed tensor, so the (N, Us) fold reshape — a physical
+      ~600 GB/s copy in the trace, not a bitcast — disappears.
+    """
+    k = kernel.shape[0]
+    h = (k - 1) // 2
+    assert k % 2 == 1 and h <= S, (k, S)
+    N, Us, V, W, SC = xp.shape
+    Cin = SC // S
+    Cout = kernel.shape[-1]
+    zeros = jnp.zeros_like(kernel[0])          # (k, k, Cin, Cout)
+
+    rows = []
+    for p in range(S):
+        row = [kernel[p - j + h] if abs(p - j) <= h else zeros
+               for j in range(S)]
+        rows.append(jnp.stack(row, axis=0))
+    Tm = jnp.stack(rows, axis=0).transpose(2, 3, 0, 4, 1, 5)
+    Tm = Tm.reshape(k, k, S * Cin, S * Cout)
+
+    erows = []
+    for g in list(range(-h, 0)) + list(range(S, S + h)):
+        row = [kernel[g - j + h] if abs(g - j) <= h else zeros
+               for j in range(S)]
+        erows.append(jnp.stack(row, axis=0))
+    Te = jnp.stack(erows, axis=0).transpose(2, 3, 0, 4, 1, 5)
+    Te = Te.reshape(k, k, 2 * h * Cin, S * Cout)
+
+    def c3d(v, w):
+        return jax.lax.conv_general_dilated(
+            v, w, window_strides=(1, 1, 1), padding="SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=xp.dtype)
+
+    E = c3d(xp, _edge_sel_kernel(SC, Cin, S, h, xp.dtype))
+    y = c3d(xp, Tm[None]) + c3d(E, Te[None])
     if bias is not None:
         y = y + jnp.tile(bias, S)
     return y

@@ -162,6 +162,13 @@ class MarionetteConfig:
     # frames (scripts/bench_encoder_parts.py); -1 = auto (TPU only),
     # 0 = off, 1 = force on
     strip_encoder: int = -1
+    # strip-path routing gate: fold-frame count at or below which the
+    # strip (lane-packed) conv paths are used; 0 = env NM_STRIP_MAX_FRAMES
+    # or 64 (the measured FORWARD crossover — at >=~128 frames XLA's
+    # batch-minor layouts win).  The training driver raises it to 96:
+    # the strip BACKWARD (weight-grad) still wins there (measured
+    # B=8 accum=1: strip 12.63 vs plain 11.23 seqs/sec).
+    strip_max_frames: int = 0
     grad_accum: int = 1  # microbatches per step (activation-memory relief)
     num_workers: int = 4   # loader threads
     n_points: int = 4096   # fixed per-frame point count shipped to device

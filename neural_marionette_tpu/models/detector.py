@@ -53,6 +53,7 @@ class FeatureNet(nn.Module):
     remat_stages: bool = False
     split_coords: bool = False  # input arrives WITHOUT coord channels
     use_strip: bool = False     # strip-packed 64^3 front (stem + pool)
+    strip_max_frames: int = 0   # 0 = env NM_STRIP_MAX_FRAMES or 64
 
     @nn.compact
     def __call__(self, x):
@@ -80,7 +81,8 @@ class FeatureNet(nn.Module):
         # frames XLA's batch-minor conv layouts fix lane starvation on
         # their own (BASELINE.md)
         import os
-        max_frames = int(os.environ.get("NM_STRIP_MAX_FRAMES", "64"))
+        max_frames = self.strip_max_frames or int(
+            os.environ.get("NM_STRIP_MAX_FRAMES", "64"))
         if self.use_strip and self.split_coords and strip_ok \
                 and x.shape[0] <= max_frames:
             from ..ops.stripconv import pack_strips, unpack_strips
@@ -160,7 +162,9 @@ class VoxToKyptNet(nn.Module):
                                             dtype=self.dtype,
                                             remat_stages=cfg.remat >= 2,
                                             split_coords=True,
-                                            use_strip=use_strip_enc)
+                                            use_strip=use_strip_enc,
+                                            strip_max_frames=
+                                            cfg.strip_max_frames)
         self.extract_heatmaps = HeatmapHead(
             cfg.nkeypoints, act=("leakyrelu" if ci else "softplus"),
             dtype=self.dtype)
@@ -175,7 +179,8 @@ class VoxToKyptNet(nn.Module):
             self.extract_st_features = feature_cls(
                 self.feat_dim * 2, cfg.grid_size, dtype=self.dtype,
                 remat_stages=cfg.remat >= 2, split_coords=True,
-                use_strip=use_strip_enc)
+                use_strip=use_strip_enc,
+                strip_max_frames=cfg.strip_max_frames)
             self.extract_st_heatmaps = HeatmapHead(
                 cfg.nkeypoints, act="leakyrelu", dtype=self.dtype)
         if ci:
@@ -288,6 +293,7 @@ class VoxelDecoder(nn.Module):
     remat_stages: bool = False
     use_strip: bool = True
     use_upconv: bool = False
+    strip_max_frames: int = 0   # 0 = env NM_STRIP_MAX_FRAMES or 64
 
     @nn.compact
     def __call__(self, x):
@@ -302,7 +308,8 @@ class VoxelDecoder(nn.Module):
         # crossover — small batches, demos/serving, and the B=4..8
         # training microbatches (where its 1.36x backward also applies).
         import os
-        max_frames = int(os.environ.get("NM_STRIP_MAX_FRAMES", "64"))
+        max_frames = self.strip_max_frames or int(
+            os.environ.get("NM_STRIP_MAX_FRAMES", "64"))
         if self.use_strip and x.shape[0] <= max_frames:
             return self._strip_forward(x, upsample2)
 
@@ -447,7 +454,8 @@ class KyptToVoxNet(nn.Module):
         logits = decoder_cls(feat_dim, dtype=self.dtype,
                              remat_stages=cfg.remat >= 2,
                              use_strip=use_strip,
-                             use_upconv=use_upconv)(x)
+                             use_upconv=use_upconv,
+                             strip_max_frames=cfg.strip_max_frames)(x)
 
         ff0 = jnp.broadcast_to(first_frame[:, None],
                                (B, T) + first_frame.shape[1:])

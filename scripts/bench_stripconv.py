@@ -26,8 +26,11 @@ def main():
 
     x = jax.random.normal(jax.random.PRNGKey(1), (frames, 16, 16, 16, 128),
                           dtype)
+    only = os.environ.get("NM_BENCH_ONLY", "")  # "plain" / "strip" / ""
     results = {}
     for name, use_strip in [("plain", False), ("strip", True)]:
+        if only and name != only:
+            continue
         model = VoxelDecoder(feat_dim=128, dtype=dtype, use_strip=use_strip)
         params = model.init(jax.random.PRNGKey(0), x[:1])
 
@@ -38,13 +41,22 @@ def main():
         def loss(p, xx):
             return jnp.sum(jnp.square(model.apply(p, xx)
                                       .astype(jnp.float32)))
-        dtb = loop_time(lambda xx: jax.grad(loss, argnums=1)(params, xx),
-                        x, iters=iters)
+        try:
+            dtb = loop_time(lambda xx: jax.grad(loss, argnums=1)(params, xx),
+                            x, iters=iters)
+        except Exception as e:  # large-frame bwd can OOM at compile
+            print(f"{name:6s} fwd+bwd: FAILED ({type(e).__name__})",
+                  flush=True)
+            continue
         results[name + "_bwd"] = dtb
         print(f"{name:6s} fwd+bwd: {dtb*1e3:8.2f} ms (d/dx)", flush=True)
 
-    print(f"speedup fwd: {results['plain']/results['strip']:.2f}x   "
-          f"fwd+bwd: {results['plain_bwd']/results['strip_bwd']:.2f}x")
+    if "plain" in results and "strip" in results:
+        print(f"speedup fwd: {results['plain']/results['strip']:.2f}x",
+              flush=True)
+        if "plain_bwd" in results and "strip_bwd" in results:
+            print(f"speedup fwd+bwd: "
+                  f"{results['plain_bwd']/results['strip_bwd']:.2f}x")
 
 
 if __name__ == "__main__":

@@ -31,7 +31,10 @@ def main():
     accum = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     remat = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 
-    cfg = adjust_config(MarionetteConfig(dataset="aist")).replace(
+    # strip_max_frames=96: same default the training driver applies
+    # (train.py) — the strip backward wins past the forward crossover
+    cfg = adjust_config(MarionetteConfig(dataset="aist",
+                                         strip_max_frames=96)).replace(
         remat=remat, grad_accum=accum, compute_dtype=dtype_name)
     model = NeuralMarionette(cfg, dtype=dtype)
     g = np.random.default_rng(0)

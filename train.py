@@ -78,6 +78,11 @@ def main():
                    cfg.process_id if cfg.process_id >= 0 else None)
     if cfg.apply_adjust_config:
         cfg = adjust_config(cfg)
+    if cfg.strip_max_frames == 0:
+        # training: the strip conv BACKWARD still wins at 80-96 folded
+        # frames where the forward crossover (64) would route plain
+        # (measured B=8 accum=1: strip 12.63 vs plain 11.23 seqs/sec)
+        cfg = cfg.replace(strip_max_frames=96)
     cfg = derive_training_id(cfg)
     np.random.seed(cfg.seed)
     if cfg.debug_nans:

@@ -12,7 +12,7 @@ touch flax plumbing:
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Iterable, Iterator, Optional, Sequence
 
 import numpy as np
 
@@ -108,3 +108,127 @@ class Marionette:
         from .apps.retarget import run_retarget
         return run_retarget(self.ctx, source_vox, target_points,
                             hardness=hardness, mode=mode, seed=seed)
+
+    # ------------------------------------------------------------ streaming
+    def stream(self, dtype: str = "bfloat16", sample_num: int = 10,
+               seed: int = 2,
+               outputs: Sequence[str] = ("keypoints", "kypt_recon", "R"),
+               ) -> "MarionetteStream":
+        """Streaming serving session (see :class:`MarionetteStream`).
+
+        Uses the cached skeleton if one exists (from a prior ``detect``
+        or checkpoint); otherwise the first streamed window extracts it.
+        """
+        return MarionetteStream(self.ctx, skeleton=self.skeleton,
+                                dtype=dtype, sample_num=sample_num,
+                                seed=seed, outputs=outputs)
+
+
+class MarionetteStream:
+    """Double-buffered streaming inference over point-cloud windows.
+
+    A serving deployment consumes an endless stream of windows
+    ``(B, T, N, 3)`` of raw (normalized) points: host->HBM transfer,
+    on-device voxelization, detector encode, VRNN rollout per window.
+    This session overlaps window t+1's host->HBM transfer with window
+    t's compute (JAX async dispatch), so end-to-end per-window latency
+    is ~= the compute alone instead of transfer + compute — measured
+    2.16x on hardware (scripts/bench_stream.py; BASELINE.md).
+
+    Results come back lag-1: ``submit(w)`` returns the *previous*
+    window's outputs (or None for the first), ``flush()`` drains the
+    last; or use ``run(iterable)`` which hides the bookkeeping:
+
+        m = Marionette.load("pretrained/aist")
+        with m.stream() as s:
+            for result in s.run(window_source()):
+                consume(result["keypoints"], result["R"])
+
+    The reference has no serving path at all (its demos are batch
+    scripts, vis_generation.py); this is the TPU-native replacement for
+    a would-be per-window ``.cuda()`` + forward loop.
+    """
+
+    def __init__(self, ctx: DemoContext, skeleton: Optional[Skeleton],
+                 dtype: str = "bfloat16", sample_num: int = 10,
+                 seed: int = 2,
+                 outputs: Sequence[str] = ("keypoints", "kypt_recon", "R")):
+        from .ops import voxelize_jnp
+
+        self.ctx = ctx
+        self.cfg = ctx.cfg
+        self.skeleton = skeleton
+        self.outputs = tuple(outputs)
+        jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        # same params, compute-dtype override (flax keeps params fp32)
+        model = NeuralMarionette(self.cfg, dtype=jdtype)
+        G = self.cfg.grid_size
+        keep = self.outputs
+
+        def encode_window(params, pts, sk):
+            vox = voxelize_jnp(pts, G).astype(jdtype)
+            out = model.apply(params, vox, sk,
+                              method=NeuralMarionette.encode_only,
+                              sample_num=sample_num,
+                              rngs={"sample": jax.random.PRNGKey(seed)})
+            return {k: out[k] for k in keep}
+
+        self._encode = jax.jit(encode_window)
+        self._pending = None  # (device outputs) of the window in flight
+        self._closed = False
+
+    # ------------------------------------------------------------ plumbing
+    def _skeleton_arrays(self, first_window: np.ndarray) -> SkeletonArrays:
+        if self.skeleton is None:
+            # one-time host round trip: detect + extract on window 0
+            vox = self.voxelize_host(first_window[0])
+            _, self.skeleton = detect_and_extract_skeleton(self.ctx, vox)
+        return SkeletonArrays.from_skeleton(self.skeleton)
+
+    def voxelize_host(self, points: np.ndarray) -> np.ndarray:
+        return np.stack([voxelize_np(points[t], self.cfg.grid_size)
+                         for t in range(points.shape[0])])
+
+    @staticmethod
+    def _fetch(out) -> dict:
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    # ------------------------------------------------------------- serving
+    def submit(self, window: np.ndarray) -> Optional[dict]:
+        """Enqueue one ``(B, T, N, 3)`` window; returns the PREVIOUS
+        window's results (None on the first call)."""
+        assert not self._closed, "stream already flushed/closed"
+        if self._pending is None and self.skeleton is None:
+            self._sk = self._skeleton_arrays(window)
+        elif not hasattr(self, "_sk"):
+            self._sk = SkeletonArrays.from_skeleton(self.skeleton)
+        dev = jax.device_put(window)            # transfer (async)
+        out = self._encode(self.ctx.params, dev, self._sk)  # async dispatch
+        prev, self._pending = self._pending, out
+        return self._fetch(prev) if prev is not None else None
+
+    def flush(self) -> Optional[dict]:
+        """Drain the in-flight window (call once after the last submit)."""
+        prev, self._pending = self._pending, None
+        self._closed = True
+        return self._fetch(prev) if prev is not None else None
+
+    def run(self, windows: Iterable[np.ndarray]) -> Iterator[dict]:
+        """Pipeline an iterable of windows; yields one result per window
+        in order.  The next window's transfer is issued before the
+        previous result is fetched, keeping the device busy."""
+        for w in windows:
+            res = self.submit(w)
+            if res is not None:
+                yield res
+        tail = self.flush()
+        if tail is not None:
+            yield tail
+
+    # --------------------------------------------------------- context mgr
+    def __enter__(self) -> "MarionetteStream":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if not self._closed:
+            self.flush()

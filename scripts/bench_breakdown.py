@@ -59,6 +59,10 @@ def main():
     trace_dir = None
     if "--trace" in sys.argv:
         trace_dir = sys.argv[sys.argv.index("--trace") + 1]
+    # --only-full: skip the per-stage programs (at B>=16 their kept-alive
+    # intermediates + extra executables exhaust HBM) and just time/trace
+    # the honest end-to-end forward.
+    only_full = "--only-full" in sys.argv
 
     cfg = adjust_config(MarionetteConfig(dataset="aist"))
     T, G = cfg.Ttot, cfg.grid_size
@@ -84,6 +88,22 @@ def main():
                              "separation_loss", "vol_fit_reg",
                              "kypt_recon_loss", "kl_kypt")])
         return out["keypoints"], losses, jnp.sum(out["recon"])
+
+    if only_full:
+        dt = _time(full, params, batch, iters=iters)
+        dev = jax.devices()[0]
+        print(f"# B={B} T={T} G={G} dtype={dtype_name} "
+              f"device={dev.platform} iters={iters} (full only)")
+        print(f"{'FULL forward (bench.py)':34s} {dt * 1e3:9.2f}")
+        print(f"{'seqs/sec (full)':34s} {B / dt:9.2f}")
+        if trace_dir:
+            jax.profiler.start_trace(trace_dir)
+            for _ in range(3):
+                out = full(params, batch)
+            jax.block_until_ready(out)
+            jax.profiler.stop_trace()
+            print(f"trace written to {trace_dir}")
+        return
 
     @jax.jit
     def encoder(params, batch):

@@ -26,3 +26,63 @@ def test_facade_end_to_end():
 
     ret = m.retarget(vox, pts[0], seed=0)
     assert np.isfinite(ret["result"].new_points).all()
+
+
+def test_streaming_session_matches_sequential():
+    """MarionetteStream's pipelined results == a plain per-window forward."""
+    import jax
+    import jax.numpy as jnp
+    from neural_marionette_tpu.models import NeuralMarionette, SkeletonArrays
+    from neural_marionette_tpu.ops import voxelize_jnp
+
+    cfg = MarionetteConfig(
+        grid_size=32, nkeypoints=6, input_dim=3, Ttot=6, Tcond=2,
+        nlatent_kypt=16, nhidden_kypt=32, const_intensity=3, affinity_ver=3,
+        nneighbor=2, feat_dim=32, dataset="synthetic")
+    m = Marionette.from_config(cfg)
+    rng = np.random.default_rng(0)
+    windows = [rng.uniform(-0.8, 0.8, size=(1, cfg.Ttot, 256, 3))
+               .astype(np.float32) for _ in range(3)]
+
+    with m.stream(dtype="float32", sample_num=2, seed=7) as s:
+        results = list(s.run(iter(windows)))
+    assert len(results) == len(windows)
+    assert s.skeleton is not None  # extracted from window 0
+    for r in results:
+        assert r["keypoints"].shape == (1, cfg.Ttot, cfg.nkeypoints, 4)
+        assert r["R"].shape == (1, cfg.Ttot, cfg.nkeypoints, 3, 3)
+
+    # plain sequential forward with the same skeleton / rng stream
+    model = NeuralMarionette(cfg, dtype=jnp.float32)
+    sk = SkeletonArrays.from_skeleton(s.skeleton)
+    for w, r in zip(windows, results):
+        vox = voxelize_jnp(jnp.asarray(w), cfg.grid_size)
+        out = model.apply(m.ctx.params, vox.astype(jnp.float32), sk,
+                          method=NeuralMarionette.encode_only, sample_num=2,
+                          rngs={"sample": jax.random.PRNGKey(7)})
+        np.testing.assert_allclose(r["keypoints"],
+                                   np.asarray(out["keypoints"]),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(r["kypt_recon"],
+                                   np.asarray(out["kypt_recon"]),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_streaming_submit_flush_contract():
+    cfg = MarionetteConfig(
+        grid_size=32, nkeypoints=6, input_dim=3, Ttot=6, Tcond=2,
+        nlatent_kypt=16, nhidden_kypt=32, const_intensity=3, affinity_ver=3,
+        nneighbor=2, feat_dim=32, dataset="synthetic")
+    m = Marionette.from_config(cfg)
+    rng = np.random.default_rng(1)
+    w = [rng.uniform(-0.8, 0.8, size=(1, cfg.Ttot, 128, 3))
+         .astype(np.float32) for _ in range(2)]
+    s = m.stream(dtype="float32", sample_num=2)
+    assert s.submit(w[0]) is None          # lag-1: nothing done yet
+    first = s.submit(w[1])
+    assert first is not None
+    last = s.flush()
+    assert last is not None
+    import pytest
+    with pytest.raises(AssertionError):
+        s.submit(w[0])                     # closed after flush

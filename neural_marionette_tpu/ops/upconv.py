@@ -77,6 +77,107 @@ def _parity_kernels(W: jnp.ndarray, nd: int) -> jnp.ndarray:
     return W.transpose(perm)
 
 
+def _insert_parity(corr: jnp.ndarray, axis: int, q: int, nd: int,
+                   Cout: int) -> jnp.ndarray:
+    """Zero-expand a packed correction over the remaining nd-1 axes into
+    the full parity-major channel layout of an nd-axis packed tensor,
+    placing the content at parity bit ``q`` of axis ``axis``.
+
+    corr (N, rest..., 2^(nd-1) * Cout) with parity bits ordered by the
+    remaining axes -> (N, rest..., 2^nd * Cout)."""
+    lead = corr.shape[:-1]
+    before, after = 2 ** axis, 2 ** (nd - 1 - axis)
+    r = corr.reshape(lead + (before, after, Cout))
+    z = jnp.zeros_like(r)
+    parts = (r, z) if q == 0 else (z, r)
+    out = jnp.stack(parts, axis=len(lead) + 1)   # (.., before, 2, after, C)
+    return out.reshape(lead + (2 ** nd * Cout,))
+
+
+def _upconv_nd_packed(x: jnp.ndarray, W: jnp.ndarray, nd: int,
+                      nfix: int) -> jnp.ndarray:
+    """Like :func:`_upconv_nd` but returns the COARSE parity-packed
+    result (N, s1..s_nd, 2^nd * Cout), parity-major channel blocks
+    (p_1..p_nd, Cout) — i.e. the fine tensor before the pixel shuffle.
+
+    The boundary fixes land on single COARSE planes here (fine plane o
+    on an axis is coarse plane o>>1 at parity o&1), so no fine-grid
+    dynamic-update-slice exists: on TPU the fine DUS chain forced two
+    whole-tensor layout round-trips (measured 2x13 ms/iter at B=16,
+    copy.3693/3754 in the r3 trace) that this form deletes."""
+    Cin, Cout = W.shape[-2], W.shape[-1]
+    if nd == 0:
+        return jnp.tensordot(x, W, axes=[[-1], [0]])
+
+    spatial = x.shape[1:1 + nd]
+    Kp = _parity_kernels(W, nd)
+    Kp = Kp.reshape((2 ** nd,) + (3,) * nd + (Cin, Cout))
+    Kb = jnp.moveaxis(Kp, 0, -2)
+    Kb = Kb.reshape((3,) * nd + (Cin, 2 ** nd * Cout))
+
+    dn = {1: ("NWC", "WIO", "NWC"),
+          2: ("NHWC", "HWIO", "NHWC"),
+          3: ("NDHWC", "DHWIO", "NDHWC")}[nd]
+    y = jax.lax.conv_general_dilated(
+        x, Kb, (1,) * nd, "SAME", dimension_numbers=dn,
+        preferred_element_type=x.dtype)        # (N, s.., 2^nd*Cout)
+
+    w_dt = W.dtype
+    quarter = jnp.asarray(0.25, w_dt)
+    for axis in range(nd - nfix, nd):
+        n = spatial[axis]
+        assert n >= 2, "upconv needs every spatial dim >= 2"
+        Wm = jnp.moveaxis(W, axis, 0)          # (3, (3,)*(nd-1), Ci, Co)
+        w0, w1, w2 = Wm[0], Wm[1], Wm[2]
+        x_lo = jax.lax.index_in_dim(x, 0, axis=1 + axis, keepdims=False)
+        x_hi = jax.lax.index_in_dim(x, n - 1, axis=1 + axis,
+                                    keepdims=False)
+        for o, xb, F in (
+                (0, x_lo, (w1 - w0) * quarter),
+                (1, x_lo, w0 * quarter),
+                (2 * n - 2, x_hi, w2 * quarter),
+                (2 * n - 1, x_hi, (w1 - w2) * quarter)):
+            corr = _upconv_nd_packed(xb, F, nd - 1, nd - 1 - axis)
+            corr = _insert_parity(corr, axis, o & 1, nd, Cout)
+            m = o >> 1
+            plane = jax.lax.index_in_dim(y, m, axis=1 + axis,
+                                         keepdims=False)
+            y = jax.lax.dynamic_update_index_in_dim(
+                y, plane + corr, m, axis=1 + axis)
+    return y
+
+
+def parity_unshuffle(y: jnp.ndarray, nd: int = 3) -> jnp.ndarray:
+    """Packed (N, s1..s_nd, 2^nd * C), parity-major -> fine
+    (N, 2*s1..2*s_nd, C) — the pixel shuffle, applied once at the end of
+    a packed chain (or folded into a consumer's output layout)."""
+    N = y.shape[0]
+    spatial = y.shape[1:1 + nd]
+    C = y.shape[-1] // 2 ** nd
+    y = y.reshape((N,) + spatial + (2,) * nd + (C,))
+    perm = [0]
+    for i in range(nd):
+        perm += [1 + i, 1 + nd + i]
+    perm += [1 + 2 * nd]
+    y = y.transpose(perm)
+    return y.reshape((N,) + tuple(2 * s for s in spatial) + (C,))
+
+
+def upconv2_trilinear_packed(x: jnp.ndarray, kernel: jnp.ndarray,
+                             bias=None) -> jnp.ndarray:
+    """Fused upsample2+conv3d returning the coarse parity-packed tensor
+    (N, D, H, W, 8*Cout): ``parity_unshuffle(result) ==
+    upconv2_trilinear(x, kernel, bias)`` exactly.  Lets GroupNorm /
+    activations / further convs run on the packed layout (lane = p*Cout
+    + c, the same modular structure ops/stripconv.py's
+    strip_group_norm_fast handles with S=8)."""
+    assert kernel.shape[:3] == (3, 3, 3), kernel.shape
+    y = _upconv_nd_packed(x, kernel.astype(x.dtype), 3, 3)
+    if bias is not None:
+        y = y + jnp.tile(bias.astype(y.dtype), 8)
+    return y
+
+
 def _upconv_nd(x: jnp.ndarray, W: jnp.ndarray, nd: int,
                nfix: int) -> jnp.ndarray:
     """x (N, s1..s_nd, Cin), W ((3,)*nd, Cin, Cout) ->

@@ -110,3 +110,55 @@ def test_upconv_grad_flows():
     g_ref = jax.grad(f_ref)(k)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                atol=1e-3, rtol=1e-4)
+
+
+@pytest.mark.parametrize("shape,cin,cout", [
+    ((2, 4, 4, 4, 5), 5, 7),
+    ((1, 8, 4, 2, 3), 3, 4),
+    ((1, 2, 2, 2, 2), 2, 2),
+])
+def test_packed_upconv_matches_fine(shape, cin, cout):
+    """parity_unshuffle(packed) == the fine upconv == upsample-then-conv.
+
+    The packed form computes the identical conv + boundary fixes, just
+    before the pixel shuffle (fixes land on coarse planes), so the match
+    is exact up to summation order."""
+    from neural_marionette_tpu.ops.upconv import (parity_unshuffle,
+                                                  upconv2_trilinear_packed)
+    x = rand(shape, seed=21)
+    k = rand((3, 3, 3, cin, cout), seed=22) * 0.3
+    b = rand((cout,), seed=23)
+    packed = upconv2_trilinear_packed(x, k, b)
+    assert packed.shape == shape[:4] + (8 * cout,)
+    out = parity_unshuffle(packed)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(upconv2_trilinear(x, k, b)),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(ref_upconv(x, k, b)),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_packed_groupnorm_on_parity_layout():
+    """strip_group_norm_fast with S=8 on the parity-packed layout ==
+    flax GroupNorm on the unshuffled fine tensor."""
+    import flax.linen as nn
+    from neural_marionette_tpu.ops.upconv import (parity_unshuffle,
+                                                  upconv2_trilinear_packed)
+    from neural_marionette_tpu.ops.stripconv import strip_group_norm_fast
+
+    cin, cout, groups = 4, 32, 2
+    x = rand((2, 4, 4, 4, cin), seed=31)
+    k = rand((3, 3, 3, cin, cout), seed=32) * 0.3
+    scale = rand((cout,), seed=33)
+    bias = rand((cout,), seed=34)
+
+    packed = upconv2_trilinear_packed(x, k)
+    yp = strip_group_norm_fast(packed, scale, bias, groups, S=8)
+    got = parity_unshuffle(yp)
+
+    fine = parity_unshuffle(packed)
+    gn = nn.GroupNorm(num_groups=groups, epsilon=1e-5)
+    ref = gn.apply({"params": {"scale": scale, "bias": bias}}, fine)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)

@@ -213,6 +213,14 @@ def _upconv_nd(x: jnp.ndarray, W: jnp.ndarray, nd: int,
     y = y.transpose(perm)
     y = y.reshape((N,) + tuple(2 * s for s in spatial) + (Cout,))
 
+    import os
+    # boundary-fix application, hardware A/B'd at the B=16 bench point:
+    # 'pad' (zero-padded single-plane corrections + add) HOPED to fuse
+    # into the consumer but MEASURED 46 ms/iter SLOWER than the DUS form
+    # (296.6 -> 342.1 ms full forward — XLA materialises the padded
+    # full-size tensors instead of fusing).  Keep DUS; the flag stays
+    # for re-measurement on future XLA versions.
+    padfix = os.environ.get("NM_UPCONV_PADFIX", "0") != "0"
     w_dt = W.dtype
     quarter = jnp.asarray(0.25, w_dt)
     for axis in range(nd - nfix, nd):
@@ -232,10 +240,16 @@ def _upconv_nd(x: jnp.ndarray, W: jnp.ndarray, nd: int,
             # those after `axis` with the true fixed operator — i.e. fix
             # only the last (nd - 1 - axis) axes of the sub-problem
             corr = _upconv_nd(xb, F, nd - 1, nd - 1 - axis)
-            plane = jax.lax.index_in_dim(y, o, axis=1 + axis,
-                                         keepdims=False)
-            y = jax.lax.dynamic_update_index_in_dim(
-                y, plane + corr, o, axis=1 + axis)
+            if padfix:
+                corr = jnp.expand_dims(corr, 1 + axis)
+                pw = [(0, 0)] * corr.ndim
+                pw[1 + axis] = (o, 2 * n - 1 - o)
+                y = y + jnp.pad(corr, pw)
+            else:
+                plane = jax.lax.index_in_dim(y, o, axis=1 + axis,
+                                             keepdims=False)
+                y = jax.lax.dynamic_update_index_in_dim(
+                    y, plane + corr, o, axis=1 + axis)
     return y
 
 

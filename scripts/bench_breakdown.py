@@ -72,10 +72,13 @@ def main():
                       dtype=jnp.float32)
     batch = voxelize_jnp(pts, G)
     sk = SkeletonArrays.chain(cfg.nkeypoints)
+    # init eagerly executes the forward op-by-op — tiny slice (bench.py's
+    # lesson: eager init at B>=8 is an HBM OOM; param shapes are
+    # batch-independent)
     params = model.init({"params": jax.random.PRNGKey(0),
                          "sample": jax.random.PRNGKey(1)},
-                        batch, detector_active=True, learner_active=True,
-                        skeleton=sk)
+                        batch[:1, :2], detector_active=True,
+                        learner_active=True, skeleton=sk)
     sample_rng = {"sample": jax.random.PRNGKey(2)}
 
     @jax.jit

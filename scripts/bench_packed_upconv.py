@@ -66,6 +66,23 @@ def main():
         y = leaky(flax_gn(y, scale, bias)).astype(dt)
         return conv3(y)
 
+    # fine chain with the original DUS boundary fixes (padfix off) —
+    # the env var is read at trace time, so setting it inside the traced
+    # function pins the variant per-jit
+    def fine_chain_dus(xx):
+        os.environ["NM_UPCONV_PADFIX"] = "0"
+        try:
+            return fine_chain(xx)
+        finally:
+            os.environ["NM_UPCONV_PADFIX"] = "1"
+
+    def fine_head_dus(xx):
+        os.environ["NM_UPCONV_PADFIX"] = "0"
+        try:
+            return fine_head(xx)
+        finally:
+            os.environ["NM_UPCONV_PADFIX"] = "1"
+
     def packed_chain(xx):
         y = upconv2_trilinear_packed(xx, w, b)
         y = leaky(strip_group_norm_fast(y, scale, bias, GROUPS, S=8))
@@ -140,9 +157,12 @@ def main():
         return jnp.max(jnp.abs(d))
     print(f"max |fine - mid2| head: {float(maxdiff2(x[:16])):.3e}")
 
-    rows = [("head fine", fine_head), ("head packed", packed_head),
+    rows = [("head fine (padfix)", fine_head),
+            ("head fine (dus)", fine_head_dus),
+            ("head packed", packed_head),
             ("head mid2", mid2_head),
-            ("chain fine (+conv3)", fine_chain),
+            ("chain fine padfix (+conv3)", fine_chain),
+            ("chain fine dus (+conv3)", fine_chain_dus),
             ("chain packed (+conv3)", packed_chain),
             ("chain mid2 (+conv3)", mid2_chain)]
     for name, fn in rows:

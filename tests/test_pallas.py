@@ -127,3 +127,84 @@ def test_conv_module_routes_through_pallas(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=0,
         atol=0.05 * float(jnp.abs(ref).max()))
+
+
+# ---------------------------------------------------------------- chamfer
+
+def _jnp_chamfer_num(kp, occ_flat, G):
+    """The losses.py jnp formulation, reduced to the kernel's contract."""
+    import jax
+    from neural_marionette_tpu.ops.coords import coord_maps
+    V = coord_maps((G, G, G), jnp.float32).reshape(-1, 3)
+    v2 = jnp.sum(V * V, axis=-1)
+    dots = jnp.einsum("vc,mkc->mvk", V, kp,
+                      precision=jax.lax.Precision.HIGHEST)
+    c2 = jnp.sum(kp * kp, axis=-1)
+    dmin = v2[None] + jnp.min(c2[:, None, :] - 2.0 * dots, axis=-1)
+    return jnp.sum(jnp.maximum(dmin, 0.0) * occ_flat, axis=-1)
+
+
+def test_chamfer_kernel_value_and_grads():
+    import jax
+    from neural_marionette_tpu.ops.pallas.chamfer_kernel import \
+        chamfer_num_pallas
+    G, M, K = 32, 3, 6
+    rng = np.random.default_rng(0)
+    kp = jnp.asarray(rng.uniform(-0.9, 0.9, (M, K, 3)).astype(np.float32))
+    occ = jnp.asarray((rng.random((M, G ** 3)) < 0.05).astype(np.float32))
+
+    ref = _jnp_chamfer_num(kp, occ, G)
+    got = chamfer_num_pallas(kp, occ, G)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5)
+
+    w = jnp.arange(1.0, M + 1.0)
+    gk_ref, go_ref = jax.grad(
+        lambda a, b: jnp.sum(_jnp_chamfer_num(a, b, G) * w),
+        argnums=(0, 1))(kp, occ)
+    gk, go = jax.grad(
+        lambda a, b: jnp.sum(chamfer_num_pallas(a, b, G) * w),
+        argnums=(0, 1))(kp, occ)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_ref),
+                               rtol=1e-5, atol=1e-4)
+    # atol 4e-6: the kernel's VPU FMA chain reassociates the fp32
+    # v.c sum vs the oracle einsum; near relu/min boundaries one ulp of
+    # dmin moves g*relu(dmin) by ~1e-6
+    np.testing.assert_allclose(np.asarray(go), np.asarray(go_ref),
+                               rtol=1e-5, atol=4e-6)
+
+
+def test_chamfer_kernel_matches_volume_fitting_loss():
+    """End-to-end: the kernel path == volume_fitting_loss's chamfer (the
+    routing is TPU-only; here both forms are exercised explicitly)."""
+    from neural_marionette_tpu.ops.losses import volume_fitting_loss
+    from neural_marionette_tpu.ops.pallas.chamfer_kernel import \
+        chamfer_num_pallas
+    G, B, T, K = 16, 2, 3, 5
+    rng = np.random.default_rng(1)
+    seq = jnp.asarray((rng.random((B, T, G, G, G, 1)) < 0.1)
+                      .astype(np.float32))
+    keypoints = jnp.asarray(
+        rng.uniform(-0.9, 0.9, (B, T, K, 4)).astype(np.float32))
+
+    ref = volume_fitting_loss(seq, keypoints, [0.1] * K, "chamfer")
+    kp = keypoints[..., :3].reshape(B * T, K, 3)
+    occ = seq[..., 0].reshape(B * T, G ** 3)
+    num = chamfer_num_pallas(kp, occ, G).reshape(B, T)
+    den = jnp.maximum(jnp.sum(occ, axis=-1).reshape(B, T), 1.0)
+    np.testing.assert_allclose(np.asarray(num / den), np.asarray(ref),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_chamfer_kernel_padded_k_and_intensity_column():
+    """K not a multiple of 8 pads with sentinels that never win the min;
+    occupancy dtype bf16 is accepted."""
+    from neural_marionette_tpu.ops.pallas.chamfer_kernel import \
+        chamfer_num_pallas
+    G, M, K = 16, 2, 9
+    rng = np.random.default_rng(2)
+    kp = jnp.asarray(rng.uniform(-0.9, 0.9, (M, K, 3)).astype(np.float32))
+    occ = jnp.asarray((rng.random((M, G ** 3)) < 0.2))
+    got = chamfer_num_pallas(kp, occ.astype(jnp.bfloat16), G)
+    ref = _jnp_chamfer_num(kp, occ.astype(jnp.float32), G)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4)

@@ -40,13 +40,17 @@ def main():
     g = np.random.default_rng(0)
     pts = jnp.asarray(g.uniform(-0.8, 0.8, size=(B, cfg.Ttot, 2048, 3)),
                       dtype=jnp.float32)
-    batch = voxelize_jnp(pts, cfg.grid_size)
+    # feed POINT batches like the real driver (the loader ships (B,T,N,3)
+    # and the step voxelizes on device via the Pallas kernel) — an f32
+    # VOXEL argument is 167 MB at B=16 and pushed accum=1 139 MB over HBM
+    batch = pts
     sk = SkeletonArrays.chain(cfg.nkeypoints)
     # init eagerly executes the forward op-by-op (no XLA liveness
     # optimization) — use a tiny slice; param shapes are batch-independent
+    init_vox = voxelize_jnp(pts[:1, :2], cfg.grid_size).astype(dtype)
     params = model.init({"params": jax.random.PRNGKey(0),
                          "sample": jax.random.PRNGKey(1)},
-                        batch[:1, :2], detector_active=True,
+                        init_vox, detector_active=True,
                         learner_active=True, skeleton=sk)
     state = create_train_state(cfg, params, jax.random.PRNGKey(2))
     step = make_train_step(model, cfg, loss_weights(cfg), True, True, True,

@@ -28,9 +28,13 @@ def main():
     from neural_marionette_tpu.models import NeuralMarionette, SkeletonArrays
     from neural_marionette_tpu.ops import voxelize_jnp
 
-    # B=16 is the single-chip throughput sweet spot (measured: 26.1
-    # seqs/s at B=4, 42.7 at B=8, 46.6 at B=16, OOM at B=32 — BASELINE.md)
-    B = int(os.environ.get("NM_BENCH_B", "16"))
+    # B=25 is the single-chip throughput sweet spot: XLA lays the big
+    # conv temps out batch-minor, padding B*T frames to the next
+    # 128-lane multiple — 160 frames (B=16) pads to 256 (1.6x waste on
+    # every conv store/load, 54.9 seqs/s) while 250 pads to 256 at
+    # 1.024x (79.2 seqs/s, MFU 0.395).  Measured ladder: B=4 45.4,
+    # B=12 75.8, B=16 54.9, B=24 78.2, B=25 79.2, B=32 OOM (BASELINE.md)
+    B = int(os.environ.get("NM_BENCH_B", "25"))
     iters = int(os.environ.get("NM_BENCH_ITERS", "20"))
     dtype_name = os.environ.get("NM_BENCH_DTYPE", "bfloat16")
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32

@@ -31,10 +31,13 @@ def main():
     accum = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     remat = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 
-    # strip_max_frames=96: same default the training driver applies
-    # (train.py) — the strip backward wins past the forward crossover
+    # strip_max_frames=128: same default the training driver applies
+    # (train.py) — the strip backward wins past the forward crossover,
+    # and 128 covers the largest microbatch that fits (12 seqs = 120
+    # folded frames).  NM_BENCH_STRIP_MAX overrides.
+    strip_max = int(os.environ.get("NM_BENCH_STRIP_MAX", "128"))
     cfg = adjust_config(MarionetteConfig(dataset="aist",
-                                         strip_max_frames=96)).replace(
+                                         strip_max_frames=strip_max)).replace(
         remat=remat, grad_accum=accum, compute_dtype=dtype_name)
     model = NeuralMarionette(cfg, dtype=dtype)
     g = np.random.default_rng(0)

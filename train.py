@@ -79,10 +79,12 @@ def main():
     if cfg.apply_adjust_config:
         cfg = adjust_config(cfg)
     if cfg.strip_max_frames == 0:
-        # training: the strip conv BACKWARD still wins at 80-96 folded
-        # frames where the forward crossover (64) would route plain
-        # (measured B=8 accum=1: strip 12.63 vs plain 11.23 seqs/sec)
-        cfg = cfg.replace(strip_max_frames=96)
+        # training: the strip conv BACKWARD still wins well past the
+        # forward crossover (64) — measured B=8 accum=1: strip 12.63 vs
+        # plain 11.23 seqs/sec at 80 frames, and stem dw 23.5 vs 68.4 ms
+        # at 160.  128 covers the largest microbatch that fits in HBM
+        # (12 seqs = 120 folded frames; BASELINE.md training table).
+        cfg = cfg.replace(strip_max_frames=128)
     cfg = derive_training_id(cfg)
     np.random.seed(cfg.seed)
     if cfg.debug_nans:

@@ -99,6 +99,14 @@ def main():
     except Exception:
         pass
 
+    # model-FLOPs MFU (utils/flops.py): immune to strip-path Toeplitz
+    # padding FLOPs and layout pad — the honest cross-config number
+    # (VERDICT r3 weak #3); "mfu" (compiled FLOPs) kept for continuity
+    from neural_marionette_tpu.utils.flops import forward_flops
+    peak = float(os.environ.get("NM_PEAK_TFLOPS", "197")) * 1e12
+    model_flops = forward_flops(cfg, B)
+    model_mfu = round(model_flops / dt / peak, 4)
+
     ref = float(os.environ.get("NM_REF_SEQS_PER_SEC", REF_SEQS_PER_SEC))
     print(json.dumps({
         "metric": "voxel seqs/sec/chip (64^3 encode + VRNN rollout)",
@@ -107,6 +115,7 @@ def main():
         "vs_baseline": round(seqs_per_sec / ref, 2) if ref > 0 else None,
         "B": B, "dtype": dtype_name, "iters": iters,
         "mfu": mfu,
+        "model_mfu": model_mfu,
         "flops_per_iter": flops,
     }))
 

@@ -169,6 +169,15 @@ class MarionetteConfig:
     # the strip BACKWARD (weight-grad) still wins there (measured
     # B=8 accum=1: strip 12.63 vs plain 11.23 seqs/sec).
     strip_max_frames: int = 0
+    # folded-frame chunking through the conv stacks: XLA lays large conv
+    # temps out batch-minor with the folded B*T frame count padded to the
+    # next 128-lane multiple, so e.g. B=16 (160 frames -> 256 lanes)
+    # silently wastes 1.6x of every conv store/load.  Splitting the
+    # folded axis into a (N//128)*128 head (zero pad) plus a <128 tail
+    # (strip-packed when under the strip gate) makes per-frame throughput
+    # flat in B instead of cliffed at 128-multiples.  -1 = auto (128 on
+    # TPU, off elsewhere), 0 = off, >0 = chunk size
+    frame_chunk: int = -1
     grad_accum: int = 1  # microbatches per step (activation-memory relief)
     num_workers: int = 4   # loader threads
     n_points: int = 4096   # fixed per-frame point count shipped to device

@@ -1,12 +1,16 @@
 """D-FAUST offline preprocessor (L0 layer).
 
-Equivalent of reference `dataset/dfaust/write_sequence_to_obj.py`: read the
-registrations hdf5 per (subject, sequence), sample 20k surface points per
-frame, write ``<path>/surface/<sid>/<seq>.npy`` (T, 20000, 3+3) consumed by
-``data.datasets.DFAUST``.
+Equivalent of reference `dataset/dfaust/write_sequence_to_obj.py:25-116`:
+read the registrations hdf5 per (subject, sequence), sample 20k surface
+points per frame, write ``<path>/surface/<sid>/<seq>.npy`` (T, 20000, 3+3)
+— the [point, face-normal] rows consumed (xyz only) by
+``data.datasets.DFAUST`` after the manual train/test placement into
+``surface/{train,test}/<sid>/`` (the reference leaves that step manual
+too; its loader reads ``data/D-FAUST/surface/<split>``, dataset.py:19).
 
-Requires h5py + trimesh (raw-data toolchain, not in the TPU image) — run on
-any CPU host with the D-FAUST download.
+Self-contained: surface sampling is the numpy implementation in
+``data.meshsample`` (the reference's only trimesh usage), so this runs on
+any host with numpy + h5py and no mesh toolchain.
 """
 from __future__ import annotations
 
@@ -15,10 +19,11 @@ import os
 
 import numpy as np
 
+from .meshsample import sample_surface_with_normals
+
 _MISSING = None
 try:
     import h5py
-    import trimesh
 except ImportError as e:  # pragma: no cover - raw-data toolchain optional
     _MISSING = e
 
@@ -26,9 +31,13 @@ SUBJECT_IDS = ["50002", "50004", "50007", "50009", "50020",
                "50021", "50022", "50025", "50026", "50027"]
 
 
-def sample_surface_points(mesh, n: int = 20000) -> np.ndarray:
-    pts, face_idx = trimesh.sample.sample_surface(mesh, n)
-    return np.hstack([pts, mesh.face_normals[face_idx]]).astype(np.float32)
+def sample_surface_points(verts: np.ndarray, faces: np.ndarray,
+                          n: int = 20000,
+                          rng: np.random.Generator | None = None
+                          ) -> np.ndarray:
+    """(n, 6) float32 [point, face normal] — reference sample_faces
+    contract (write_sequence_to_obj.py:20-23)."""
+    return sample_surface_with_normals(verts, faces, n, rng)
 
 
 def parse_subjects_file(path: str) -> dict[str, tuple[str, list[str]]]:
@@ -47,19 +56,19 @@ def parse_subjects_file(path: str) -> dict[str, tuple[str, list[str]]]:
     return out
 
 
-def main():
+def main(argv=None):
     if _MISSING is not None:
-        raise ImportError(
-            f"prepare_dfaust needs h5py + trimesh: {_MISSING}")
+        raise ImportError(f"prepare_dfaust needs h5py: {_MISSING}")
 
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--path", default="data/D-FAUST",
                         help="directory with registrations_{m,f}.hdf5")
-    parser.add_argument("--subjects_file", default="subjects_and_sequences.txt")
+    parser.add_argument("--subjects_file",
+                        default="subjects_and_sequences.txt")
     parser.add_argument("--n_points", type=int, default=20000)
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
 
-    np.random.seed(0)
+    rng = np.random.default_rng(0)
     subjects = parse_subjects_file(args.subjects_file)
     for sid in SUBJECT_IDS:
         if sid not in subjects:
@@ -80,8 +89,7 @@ def main():
             save_dir = os.path.join(args.path, "surface", sid)
             os.makedirs(save_dir, exist_ok=True)
             sampled = np.stack([
-                sample_surface_points(trimesh.Trimesh(v, faces),
-                                      args.n_points)
+                sample_surface_points(v, faces, args.n_points, rng)
                 for v in verts])
             np.save(os.path.join(save_dir, seq + ".npy"), sampled)
             print(os.path.join(save_dir, seq), "saved")

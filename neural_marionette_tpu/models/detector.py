@@ -37,6 +37,41 @@ def _unfold_time(x, B, T):
     return x.reshape((B, T) + x.shape[1:])
 
 
+def _resolve_frame_chunk(cfg) -> int:
+    fc = cfg.frame_chunk
+    if fc == -1:
+        return 128 if jax.default_backend() == "tpu" else 0
+    return fc
+
+
+def _apply_frame_chunked(fn, x, chunk: int):
+    """Apply a frame-parallel conv stack over the folded (B*T) axis as a
+    zero-pad head plus a sub-chunk tail.
+
+    XLA's batch-minor layouts pad the folded frame count to the next
+    128-lane multiple on every large conv temp, so N=160 frames costs 256
+    frames of HBM traffic (the measured B=16 cliff, BASELINE.md).  The
+    head ((N//chunk)*chunk frames) tiles the lanes exactly; the tail
+    (< chunk frames) re-enters ``fn`` where the existing shape-static
+    strip gate routes it lane-packed (frame-count-independent layout).
+    Frames are independent through the stacks, so this is exact.
+
+    ``fn`` may return a single array or a tuple; all leading axes are the
+    folded frame axis.
+    """
+    N = x.shape[0]
+    if chunk <= 0 or N <= chunk:
+        return fn(x)
+    head = (N // chunk) * chunk
+    if head == N:
+        return fn(x)
+    ha, ta = fn(x[:head]), fn(x[head:])
+    if isinstance(ha, tuple):
+        return tuple(jnp.concatenate([h, t], axis=0)
+                     for h, t in zip(ha, ta))
+    return jnp.concatenate([ha, ta], axis=0)
+
+
 class FeatureNet(nn.Module):
     """Voxel -> feature pyramid at grid/4 resolution.
 
@@ -232,8 +267,12 @@ class VoxToKyptNet(nn.Module):
                 self.extract_st_features(seq_summed))
 
         # batched per-frame conv stack over folded (B*T); coord channels
-        # enter inside the stem via the split-CoordConv decomposition
-        features = self.extract_features(_fold_time(seq))
+        # enter inside the stem via the split-CoordConv decomposition.
+        # Chunked over the folded axis so the frame count tiles the
+        # 128-lane conv layouts exactly (see _apply_frame_chunked)
+        features = _apply_frame_chunked(self.extract_features,
+                                        _fold_time(seq),
+                                        _resolve_frame_chunk(cfg))
         heatmaps = self.extract_heatmaps(features)  # (B*T, g, g, g, K)
         heatmaps = _unfold_time(heatmaps, B, T)
         first_feature = _unfold_time(features, B, T)[:, 0]
@@ -451,11 +490,13 @@ class KyptToVoxNet(nn.Module):
         upconv = cfg.upconv_decoder
         use_upconv = (jax.default_backend() == "tpu") if upconv == -1 \
             else bool(upconv)
-        logits = decoder_cls(feat_dim, dtype=self.dtype,
-                             remat_stages=cfg.remat >= 2,
-                             use_strip=use_strip,
-                             use_upconv=use_upconv,
-                             strip_max_frames=cfg.strip_max_frames)(x)
+        decoder = decoder_cls(feat_dim, dtype=self.dtype,
+                              remat_stages=cfg.remat >= 2,
+                              use_strip=use_strip,
+                              use_upconv=use_upconv,
+                              strip_max_frames=cfg.strip_max_frames)
+        logits = _apply_frame_chunked(decoder, x,
+                                      _resolve_frame_chunk(cfg))
 
         ff0 = jnp.broadcast_to(first_frame[:, None],
                                (B, T) + first_frame.shape[1:])

@@ -54,6 +54,9 @@ def warmup_collectives(mesh) -> None:
     shape = tuple(mesh.shape[a] for a in ax)
     local_rows = shape[0] // jax.process_count()
     if local_rows * jax.process_count() != shape[0]:
+        print(f"[warmup_collectives] skipped: mesh axis 0 ({shape[0]}) not "
+              f"divisible by process_count ({jax.process_count()}); first "
+              "collective will pay the rendezvous skew", flush=True)
         return  # unusual process/mesh split; lazy init will handle it
     local = np.zeros((local_rows,) + shape[1:], np.float32)
     x = jax.make_array_from_process_local_data(

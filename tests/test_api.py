@@ -52,14 +52,17 @@ def test_streaming_session_matches_sequential():
         assert r["keypoints"].shape == (1, cfg.Ttot, cfg.nkeypoints, 4)
         assert r["R"].shape == (1, cfg.Ttot, cfg.nkeypoints, 3, 3)
 
-    # plain sequential forward with the same skeleton / rng stream
+    # plain sequential forward with the same skeleton / rng stream: the
+    # session folds the window index into the seed key so each window
+    # draws fresh sample noise (VERDICT r3 weak #5)
     model = NeuralMarionette(cfg, dtype=jnp.float32)
     sk = SkeletonArrays.from_skeleton(s.skeleton)
-    for w, r in zip(windows, results):
+    for i, (w, r) in enumerate(zip(windows, results)):
         vox = voxelize_jnp(jnp.asarray(w), cfg.grid_size)
+        key = jax.random.fold_in(jax.random.PRNGKey(7), jnp.uint32(i))
         out = model.apply(m.ctx.params, vox.astype(jnp.float32), sk,
                           method=NeuralMarionette.encode_only, sample_num=2,
-                          rngs={"sample": jax.random.PRNGKey(7)})
+                          rngs={"sample": key})
         np.testing.assert_allclose(r["keypoints"],
                                    np.asarray(out["keypoints"]),
                                    rtol=1e-5, atol=1e-5)
@@ -86,3 +89,28 @@ def test_streaming_submit_flush_contract():
     import pytest
     with pytest.raises(AssertionError):
         s.submit(w[0])                     # closed after flush
+
+
+def test_streaming_variable_batch_buckets():
+    """Ragged-B streams: padded to compile buckets, sliced back on fetch
+    (VERDICT r3 #7)."""
+    from neural_marionette_tpu.api import MarionetteStream
+    assert [MarionetteStream._bucket(b) for b in (1, 2, 3, 4, 5, 8, 9, 16,
+                                                  17, 24, 25, 33)] \
+        == [1, 2, 4, 4, 8, 8, 16, 16, 24, 24, 32, 40]
+
+    cfg = MarionetteConfig(
+        grid_size=32, nkeypoints=6, input_dim=3, Ttot=6, Tcond=2,
+        nlatent_kypt=16, nhidden_kypt=32, const_intensity=3, affinity_ver=3,
+        nneighbor=2, feat_dim=32, dataset="synthetic")
+    m = Marionette.from_config(cfg)
+    rng = np.random.default_rng(2)
+    sizes = [1, 3, 2]
+    windows = [rng.uniform(-0.8, 0.8, size=(b, cfg.Ttot, 128, 3))
+               .astype(np.float32) for b in sizes]
+    with m.stream(dtype="float32", sample_num=2) as s:
+        results = list(s.run(iter(windows)))
+    assert [r["keypoints"].shape[0] for r in results] == sizes
+    for r, b in zip(results, sizes):
+        assert r["R"].shape == (b, cfg.Ttot, cfg.nkeypoints, 3, 3)
+        assert np.isfinite(r["keypoints"]).all()

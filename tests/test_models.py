@@ -362,3 +362,26 @@ def test_featurenet_strip_front_equivalence():
                         jax.tree_util.tree_leaves(g2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-10, rtol=1e-10)
+
+
+def test_frame_chunked_forward_matches_unchunked(voxseq):
+    """frame_chunk splits the folded (B*T) conv axis into head+tail calls;
+    frames are independent through the stacks so outputs must match the
+    single-call path (VERDICT r3 #2: the 128-lane padding-cliff fix)."""
+    cfg0 = tiny_cfg(frame_chunk=0)
+    cfg3 = tiny_cfg(frame_chunk=3)   # B*T = 8 -> head 6 + tail 2
+    det0, det3 = KyptDetector(cfg0), KyptDetector(cfg3)
+    params = det0.init(jax.random.PRNGKey(0), voxseq)
+    out0 = det0.apply(params, voxseq)
+    out3 = det3.apply(params, voxseq)  # same params: chunking is not
+    # allowed to change the parameter tree
+    for k in ["recon", "keypoints", "heatmaps", "first_feature"]:
+        np.testing.assert_allclose(np.asarray(out0[k]), np.asarray(out3[k]),
+                                   rtol=2e-5, atol=2e-5, err_msg=k)
+
+    # gradient path through both chunks
+    def loss(p):
+        return det3.apply(p, voxseq)["recon_loss"]
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)

@@ -179,6 +179,11 @@ class MarionetteConfig:
     # TPU, off elsewhere), 0 = off, >0 = chunk size
     frame_chunk: int = -1
     grad_accum: int = 1  # microbatches per step (activation-memory relief)
+    # 1 = recreate fresh Adam moments at every epoch start — the
+    # reference's exact optimizer semantics (reference train.py:366-374).
+    # Default 0 keeps one persistent Adam (documented deviation; better
+    # training dynamics).  Used by the training-dynamics parity run.
+    opt_reset_per_epoch: int = 0
     num_workers: int = 4   # loader threads
     n_points: int = 4096   # fixed per-frame point count shipped to device
     platform: str = ""     # force a JAX platform ("cpu") before backend init

@@ -72,3 +72,16 @@ def create_train_state(cfg: MarionetteConfig, params, rng) -> TrainState:
     tx = make_optimizer(cfg)
     return TrainState(params=params, opt_state=tx.init(params), rng=rng,
                       step=jnp.zeros((), jnp.int32))
+
+
+def reset_optimizer(cfg: MarionetteConfig, state: TrainState) -> TrainState:
+    """Fresh Adam moments, keeping params/rng/step — the reference's
+    recreate-the-optimizer-every-epoch semantics (train.py:366-374),
+    exposed for ``cfg.opt_reset_per_epoch`` parity runs.  The current
+    learning rate survives the reset (the driver re-applies it per epoch
+    anyway)."""
+    lr = state.opt_state.hyperparams["learning_rate"]
+    fresh = make_optimizer(cfg).init(state.params)
+    hp = dict(fresh.hyperparams)
+    hp["learning_rate"] = lr
+    return state.replace(opt_state=fresh._replace(hyperparams=hp))

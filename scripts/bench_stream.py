@@ -79,7 +79,9 @@ def main():
         fetch(out)
     seq = (time.perf_counter() - t0) / n_windows
 
-    # --- pipelined: next window's transfer issued under current compute
+    # --- pipelined: next window's transfer issued under current compute;
+    # per-window completion times recorded for the latency distribution
+    lat = []
     t0 = time.perf_counter()
     dev = jax.device_put(windows[0])
     pending = None
@@ -89,9 +91,14 @@ def main():
             dev = jax.device_put(windows[i + 1])  # transfer under compute
         if pending is not None:
             fetch(pending)                    # consume window i-1
+            lat.append(time.perf_counter())
         pending = out
     fetch(pending)
-    pipe = (time.perf_counter() - t0) / n_windows
+    lat.append(time.perf_counter())
+    pipe = (lat[-1] - t0) / n_windows
+    # inter-completion gaps = per-window serving latency in steady state
+    gaps = np.diff(np.asarray([t0] + lat)) * 1e3
+    p50, p99 = np.percentile(gaps[1:], 50), np.percentile(gaps[1:], 99)
 
     # transfer-only cost for the report
     t0 = time.perf_counter()
@@ -103,6 +110,8 @@ def main():
     print(f"host->HBM transfer     : {put*1e3:7.2f} ms/window")
     print(f"sequential put+run+fetch: {seq*1e3:7.2f} ms/window")
     print(f"pipelined (double-buf) : {pipe*1e3:7.2f} ms/window")
+    print(f"pipelined latency      : p50 {p50:7.2f} ms  p99 {p99:7.2f} ms"
+          f"  (steady-state inter-completion gaps)")
     print(f"overlap win: {seq/pipe:.2f}x  "
           f"(hidden {max(seq-pipe, 0)*1e3:.1f} ms/window)")
 

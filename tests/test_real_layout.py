@@ -29,7 +29,8 @@ def _rot_y(theta):
     return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], dtype=np.float32)
 
 
-def _write_aist_tree(root, n_train=3, n_test=2, seed=0):
+def _write_aist_tree(root, n_train=3, n_test=2, seed=0,
+                     n_frames=N_FRAMES):
     rng = np.random.default_rng(seed)
     base = os.path.join(root, "aist_plusplus_smpl_joints")
     for split, n in [("train", n_train), ("test", n_test)]:
@@ -38,12 +39,12 @@ def _write_aist_tree(root, n_train=3, n_test=2, seed=0):
         for i in range(n):
             name = f"g{split[0]}{i}_seq.npy"
             pts = rng.uniform(-0.5, 0.5,
-                              size=(N_FRAMES, N_PTS, 3)).astype(np.float32)
+                              size=(n_frames, N_PTS, 3)).astype(np.float32)
             # drift over time so windows differ
-            pts += np.linspace(0, 0.3, N_FRAMES)[:, None, None]
+            pts += np.linspace(0, 0.3, n_frames)[:, None, None]
             joints = rng.uniform(-0.5, 0.5,
-                                 size=(N_FRAMES, K_GT, 3)).astype(np.float32)
-            aligns = np.stack([_rot_y(0.1 * t + i) for t in range(N_FRAMES)])
+                                 size=(n_frames, K_GT, 3)).astype(np.float32)
+            aligns = np.stack([_rot_y(0.1 * t + i) for t in range(n_frames)])
             np.save(os.path.join(base, "surface", split, name), pts)
             np.save(os.path.join(base, "joints", split, name), joints)
             np.save(os.path.join(base, "root_aligns", split, name), aligns)

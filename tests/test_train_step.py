@@ -152,6 +152,28 @@ def test_set_learning_rate(setup):
         pytest.approx(1e-5)
 
 
+def test_reset_optimizer(setup):
+    """cfg.opt_reset_per_epoch parity path: fresh Adam moments, LR and
+    params preserved (reference recreates its optimizer every epoch,
+    reference train.py:366-374)."""
+    from neural_marionette_tpu.train import reset_optimizer
+    cfg, mesh, model, batch, sk, params = setup
+    state = create_train_state(cfg, params, jax.random.PRNGKey(0))
+    state = set_learning_rate(state, 3e-4)
+    # dirty every moment leaf, as real updates would
+    dirty = jax.tree.map(lambda x: jnp.ones_like(x) if x.ndim else x,
+                         state.opt_state.inner_state)
+    state = state.replace(
+        opt_state=state.opt_state._replace(inner_state=dirty))
+    out = reset_optimizer(cfg, state)
+    for leaf in jax.tree.leaves(out.opt_state.inner_state):
+        assert float(jnp.abs(jnp.asarray(leaf, jnp.float32)).max()) == 0.0
+    assert float(out.opt_state.hyperparams["learning_rate"]) == \
+        pytest.approx(3e-4)
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: bool((a == b).all()), out.params, state.params))
+
+
 def test_scheduler_phases():
     cfg = tiny_cfg(detector_start=0, detector_end=10, learner_start=10,
                    affinity_anneal=5, nepoch=20)

@@ -56,7 +56,8 @@ def main():
         extract_skeleton_host_api as extract_skeleton)
     from neural_marionette_tpu.train import (
         LossScheduler, MetricLogger, create_train_state, make_eval_step,
-        make_generate_step, make_train_step, set_learning_rate)
+        make_generate_step, make_train_step, set_learning_rate,
+        reset_optimizer)
     from neural_marionette_tpu.train.checkpoint import CheckpointManager
     from neural_marionette_tpu.utils.console import (COLORS, display_it,
                                                      display_opts,
@@ -228,6 +229,11 @@ def main():
             )
         steps = step_cache[key]
         state = set_learning_rate(state, sched.learning_rate(epoch_id))
+        if cfg.opt_reset_per_epoch:
+            # reference semantics: a FRESH Adam every epoch
+            # (reference train.py:366-374); default off — one
+            # persistent Adam is the documented deviation
+            state = reset_optimizer(cfg, state)
 
         # ------------------------------------------------------------ train
         profiling = bool(cfg.profile_dir) and epoch_id == start_epoch + 1

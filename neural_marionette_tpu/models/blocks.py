@@ -302,16 +302,49 @@ def _pallas_conv_applicable(mod: "Conv", x) -> bool:
             and jax.default_backend() == "tpu")
 
 
+def _hybrid_wgrad_strip(mod: "Conv", x) -> int:
+    """Backward strip size for the hybrid-gradient conv route
+    (ops/hybridconv: plain forward, strip-packed weight-gradient), or 0.
+
+    Applies to odd cubic stride-1 SAME convs with lane-starved Cout on
+    the TPU backend (the plain wgrad's matmul pads Cout to 128 output
+    lanes — structural 128/Cout tile waste no frame count fixes).  The
+    forward HLO is unchanged, so inference and parity tests see the
+    identical plain conv.  Opt-out: NM_HYBRID_WGRAD=0."""
+    import os
+    import jax
+    if os.environ.get("NM_HYBRID_WGRAD", "1") != "1":
+        return 0
+    force = os.environ.get("NM_HYBRID_WGRAD_FORCE") == "1"  # CPU tests
+    k = mod.kernel_size
+    strides = mod.strides or 1
+    if not (x.ndim == 5
+            and len(k) == 3 and len(set(k)) == 1 and k[0] % 2 == 1
+            and k[0] >= 3
+            and strides in (1, (1, 1, 1))
+            and mod.padding == "SAME"
+            and mod.feature_group_count == 1
+            and mod.use_bias
+            and (force or jax.default_backend() == "tpu")):
+        return 0
+    from ..ops.hybridconv import hybrid_strip_size
+    return hybrid_strip_size(mod.features, x.shape[1], k[0])
+
+
 class Conv(nn.Conv):
     """Drop-in nn.Conv (same class name, so flax auto-naming and therefore
-    the parameter tree / checkpoints are unchanged) that computes odd
-    cubic stride-1 convs through the tap-packed Pallas kernel
-    (ops/pallas/conv3d_kernel) on the TPU bf16 path, and defers to XLA's
-    conv everywhere else (1x1 heads, fp32 parity tests, CPU backends)."""
+    the parameter tree / checkpoints are unchanged) that on the TPU path
+    routes odd cubic stride-1 convs through (a) the hybrid-gradient conv
+    (plain forward HLO, strip-packed weight-gradient — ops/hybridconv) for
+    lane-starved Cout, or (b) the tap-packed Pallas kernel
+    (ops/pallas/conv3d_kernel, opt-in NM_PALLAS_CONV=1), and defers to
+    XLA's conv everywhere else (1x1 heads, fp32 parity tests, CPU)."""
 
     @nn.compact
     def __call__(self, x):
-        if not _pallas_conv_applicable(self, x):
+        use_pallas = _pallas_conv_applicable(self, x)
+        hybrid_S = 0 if use_pallas else _hybrid_wgrad_strip(self, x)
+        if not (use_pallas or hybrid_S):
             return super().__call__(x)
         kernel = self.param(
             "kernel", self.kernel_init,
@@ -321,5 +354,8 @@ class Conv(nn.Conv):
                           self.param_dtype)
         from flax.linen.dtypes import promote_dtype
         x, kernel, bias = promote_dtype(x, kernel, bias, dtype=self.dtype)
+        if hybrid_S:
+            from ..ops.hybridconv import conv3d_hybrid
+            return conv3d_hybrid(x, kernel, bias, hybrid_S)
         from ..ops.pallas.conv3d_kernel import conv3d_pallas
         return conv3d_pallas(x, kernel, bias)

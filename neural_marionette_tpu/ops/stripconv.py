@@ -290,16 +290,29 @@ def strip_convk_split(xp: jnp.ndarray, kernel: jnp.ndarray, bias, S: int
     """Assembly-free SAME odd-k conv3d on a strip-packed tensor —
     generalizes :func:`strip_conv3_split` to k in {3, 5, ...} with halo
     h = (k-1)//2 <= S (the halo must fit in one neighbour strip).
-
-    Main conv2d: output plane j reads in-strip plane p with U-tap
-    ku = p - j + h (valid 0..k-1).  Edge conv2d: the previous strip's
-    last h planes (g = -h..-1) and the next strip's first h planes
-    (g = S..S+h-1), 2h*Cin lanes total.
+    Dispatches to the v2 (selection-conv) form unless NM_STRIP_V2=0.
     """
     if os.environ.get("NM_STRIP_V2", "1") != "0":
         # v2 default: measured decoder fwd 63.9->50.8 ms, fwd+bwd
         # 136.7->104.7 ms at 40 frames bf16 (scripts/bench_stripconv.py)
         return strip_convk_split2(xp, kernel, bias, S)
+    return strip_convk_split_v1(xp, kernel, bias, S)
+
+
+def strip_convk_split_v1(xp: jnp.ndarray, kernel: jnp.ndarray, bias, S: int
+                         ) -> jnp.ndarray:
+    """v1 split form: main conv2d over xp itself (S*Cin -> S*Cout block-
+    Toeplitz within-strip taps; output plane j reads in-strip plane p with
+    U-tap ku = p - j + h, valid 0..k-1) plus an edge conv2d over the small
+    [prev-strip last h planes | next-strip first h planes] tensor
+    (2h*Cin lanes).
+
+    Kept callable directly (not just via the dispatcher) because its
+    LINEAR TRANSPOSE w.r.t. the kernel is the lane-packed weight-gradient
+    used by ops.hybridconv: the main conv2d's wgrad has S*Cout=128 output
+    lanes and only S/k extra FLOPs — vs Cout output lanes (4x tile
+    padding at Cout=32) for the plain conv3d wgrad.
+    """
     k = kernel.shape[0]
     h = (k - 1) // 2
     assert k % 2 == 1 and h <= S, (k, S)

@@ -28,12 +28,11 @@ def main():
     from neural_marionette_tpu.models import NeuralMarionette, SkeletonArrays
     from neural_marionette_tpu.ops import voxelize_jnp
 
-    # B=25 is the single-chip throughput sweet spot: XLA lays the big
-    # conv temps out batch-minor, padding B*T frames to the next
-    # 128-lane multiple — 160 frames (B=16) pads to 256 (1.6x waste on
-    # every conv store/load, 54.9 seqs/s) while 250 pads to 256 at
-    # 1.024x (79.2 seqs/s, MFU 0.395).  Measured ladder: B=4 45.4,
-    # B=12 75.8, B=16 54.9, B=24 78.2, B=25 79.2, B=32 OOM (BASELINE.md)
+    # B=25 is the single-chip throughput sweet spot.  The old 128-lane
+    # frame-padding cliff (B=16 at 54.9, B=32 OOM in r3) is gone since
+    # the r4 frame-chunked conv stacks bound the pad to one sub-128
+    # tail; the r4 ladder is near-flat: B=4 45.0, B=8 54.5, B=12 75.2,
+    # B=16 72.9, B=24 79.3, B=25 80.4, B=32 73.0 seqs/s (BASELINE.md)
     B = int(os.environ.get("NM_BENCH_B", "25"))
     iters = int(os.environ.get("NM_BENCH_ITERS", "20"))
     dtype_name = os.environ.get("NM_BENCH_DTYPE", "bfloat16")

@@ -310,12 +310,19 @@ def _hybrid_wgrad_strip(mod: "Conv", x) -> int:
     the TPU backend (the plain wgrad's matmul pads Cout to 128 output
     lanes — structural 128/Cout tile waste no frame count fixes).  The
     forward HLO is unchanged, so inference and parity tests see the
-    identical plain conv.  Opt-out: NM_HYBRID_WGRAD=0."""
+    identical plain conv.
+
+    OFF by default: measured end-to-end (B=24 accum=2, 120-frame
+    chunks, r4) the hybrid wgrad LOST — 12.97 vs 16.02 seqs/sec —
+    because XLA's fused plain backward beats the strip repack once the
+    frame-chunked layouts are in place.  Kept as an opt-in
+    (NM_HYBRID_WGRAD=1) for lane-starved shapes outside the default
+    training config."""
     import os
     import jax
-    if os.environ.get("NM_HYBRID_WGRAD", "1") != "1":
-        return 0
     force = os.environ.get("NM_HYBRID_WGRAD_FORCE") == "1"  # CPU tests
+    if not force and os.environ.get("NM_HYBRID_WGRAD", "0") != "1":
+        return 0
     k = mod.kernel_size
     strides = mod.strides or 1
     if not (x.ndim == 5

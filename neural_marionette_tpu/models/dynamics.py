@@ -27,7 +27,7 @@ import flax.linen as nn
 from flax.linen.initializers import normal
 
 from ..config import MarionetteConfig
-from ..ops.fk import fk_global_rotations, fk_positions
+from ..ops.fk import fk_global_rotations_parallel, fk_positions_parallel
 from ..ops.losses import gaussian_kl
 from ..ops.rotations import rotation_6d_to_matrix
 
@@ -125,6 +125,59 @@ class HSVRNNBVH(nn.Module):
         std = jax.nn.softplus(std_raw) + 1e-4  # hsvrnn_bvh.py:95,103
         return mean, std
 
+    def _post_prior_fused(self, h, keypoint_flat):
+        """Posterior(h, x) and prior(h) as ONE two-layer MLP on [h, x]:
+        the prior's layer-1 weight gets zero rows for the x block and
+        layer 2 is block-diagonal, so every output column's dot product
+        keeps exactly the separate matmuls' terms (plus zeros).  Same
+        dispatch-halving rationale as :meth:`_decoder_fused` — these run
+        once per VRNN scan step.
+
+        Returns (post_mean, post_std, prior_mean, prior_std)."""
+        S = keypoint_flat.shape[-1]
+        n = self.post_l1[0].shape[1]
+        w1q = jnp.concatenate(
+            [self.prior_l1[0],
+             jnp.zeros((S, n), dtype=self.prior_l1[0].dtype)], axis=0)
+        w1 = jnp.concatenate([self.post_l1[0], w1q], axis=1)
+        b1 = jnp.concatenate([self.post_l1[1], self.prior_l1[1]])
+        x = jnp.concatenate([h, keypoint_flat], axis=-1)
+        hid = nn.leaky_relu(x @ w1 + b1, negative_slope=0.01)
+        d = self.post_l2[0].shape[1]                       # 2*Z
+        w2 = jnp.zeros((2 * n, 2 * d), dtype=self.post_l2[0].dtype)
+        w2 = w2.at[:n, :d].set(self.post_l2[0])
+        w2 = w2.at[n:, d:].set(self.prior_l2[0])
+        b2 = jnp.concatenate([self.post_l2[1], self.prior_l2[1]])
+        out = hid @ w2 + b2
+        post_mean, post_sraw = jnp.split(out[:, :d], 2, axis=-1)
+        prior_mean, prior_sraw = jnp.split(out[:, d:], 2, axis=-1)
+        eps = 1e-4  # hsvrnn_bvh.py:95,103
+        return (post_mean, jax.nn.softplus(post_sraw) + eps,
+                prior_mean, jax.nn.softplus(prior_sraw) + eps)
+
+    def _decoder_fused(self, x):
+        """Both decoder heads (root+intensity, joint 6D) read the SAME
+        input, so run them as ONE two-layer MLP: layer 1 on concatenated
+        weights, layer 2 block-diagonal (the off-blocks are zeros, so
+        every output column's dot product is term-for-term the separate
+        matmul's).  Halves the per-step dispatches inside the VRNN scans,
+        where the (B, 128) matmuls are pure chain latency.  The weight
+        assembly is scan-invariant and hoisted by XLA.
+
+        Returns (root raw pre-tanh (B, 3+K), rot6d flat (B, 6*K))."""
+        w1 = jnp.concatenate([self.root_l1[0], self.joint_l1[0]], axis=1)
+        b1 = jnp.concatenate([self.root_l1[1], self.joint_l1[1]])
+        h = nn.leaky_relu(x @ w1 + b1, negative_slope=0.01)
+        n_r = self.root_l2[0].shape[0]
+        d_r = self.root_l2[0].shape[1]
+        d_j = self.joint_l2[0].shape[1]
+        w2 = jnp.zeros((w1.shape[1], d_r + d_j), dtype=self.root_l2[0].dtype)
+        w2 = w2.at[:n_r, :d_r].set(self.root_l2[0])
+        w2 = w2.at[n_r:, d_r:].set(self.joint_l2[0])
+        b2 = jnp.concatenate([self.root_l2[1], self.joint_l2[1]])
+        out = h @ w2 + b2
+        return out[:, :d_r], out[:, d_r:]
+
     # -------------------------------------------------------------- decoding
     def extract_kypt_from_latent_and_state(self, decoder_input, offset,
                                            skeleton: SkeletonArrays):
@@ -135,17 +188,20 @@ class HSVRNNBVH(nn.Module):
         tree for positions.
         """
         K = self._K
-        raw = jnp.tanh(self._mlp(decoder_input, self.root_l1, self.root_l2))
+        root_raw, rot6d = self._decoder_fused(decoder_input)
+        raw = jnp.tanh(root_raw)
         root_pos = raw[:, :3]
         intensity = (raw[:, 3:] + 1.0) * 0.5  # (B, K)
-
-        rot6d = self._mlp(decoder_input, self.joint_l1, self.joint_l2)
         rot6d = rot6d.reshape(-1, K, 6)
         R_local = rotation_6d_to_matrix(rot6d)
-        R_glob = fk_global_rotations(R_local, skeleton.priority_indices,
-                                     skeleton.parents)
-        pos = fk_positions(R_glob, offset, root_pos,
-                           skeleton.priority_indices, skeleton.parents)
+        # log-depth pointer-doubling FK: 5 batched rounds instead of K=24
+        # sequential scan steps per frame (this runs inside the VRNN time
+        # scan, so chain latency is the cost that matters)
+        R_glob = fk_global_rotations_parallel(
+            R_local, skeleton.priority_indices, skeleton.parents)
+        pos = fk_positions_parallel(
+            R_glob, offset, root_pos,
+            skeleton.priority_indices, skeleton.parents)
         processed = jnp.concatenate([pos, intensity[..., None]], axis=-1)
         return processed.reshape(processed.shape[0], -1), R_glob
 
@@ -263,11 +319,8 @@ class HSVRNNBVH(nn.Module):
         def anchor_step(h, key, kp_det):
             kp_det_rep = jnp.broadcast_to(kp_det[None], (S, K * 4))
             k1, k2 = jax.random.split(key)
-            post_mean, post_std = self._dist_params(
-                jnp.concatenate([h, kp_det_rep], axis=-1),
-                self.post_l1, self.post_l2)
-            prior_mean, prior_std = self._dist_params(
-                h, self.prior_l1, self.prior_l2)
+            post_mean, post_std, prior_mean, prior_std = \
+                self._post_prior_fused(h, kp_det_rep)
             z_post = post_mean + post_std * jax.random.normal(
                 k1, post_mean.shape, post_mean.dtype)
             z_choose = prior_mean + prior_std * jax.random.normal(
@@ -340,11 +393,9 @@ class HSVRNNBVH(nn.Module):
             keypoint_flat = jnp.broadcast_to(
                 keypoints[:, t].reshape(1, -1), (S, K * 4))
             if t % anchor_rate == 0 or t == T - 1:
-                post_mean, post_std = self._dist_params(
-                    jnp.concatenate([h, keypoint_flat], axis=-1),
-                    self.post_l1, self.post_l2)
-                prior_mean, prior_std = self._dist_params(
-                    h, self.prior_l1, self.prior_l2)
+                # fused form, matching the scanned path bit-for-bit
+                post_mean, post_std, prior_mean, prior_std = \
+                    self._post_prior_fused(h, keypoint_flat)
                 k1, k2 = jax.random.split(key)
                 z_post = post_mean + post_std * jax.random.normal(
                     k1, post_mean.shape, post_mean.dtype)
@@ -445,11 +496,8 @@ class HSVRNNBVH(nn.Module):
         def step(h, inp):
             key, keypoint = inp
             keypoint_flat = keypoint.reshape(B, -1)
-            prior_mean, prior_std = self._dist_params(
-                h, self.prior_l1, self.prior_l2)
-            post_mean, post_std = self._dist_params(
-                jnp.concatenate([h, keypoint_flat], axis=-1),
-                self.post_l1, self.post_l2)
+            post_mean, post_std, prior_mean, prior_std = \
+                self._post_prior_fused(h, keypoint_flat)
             eps = jax.random.normal(key, (sample_num, B, self._Z),
                                     dtype=post_mean.dtype)
             z_samples = post_mean[None] + post_std[None] * eps

@@ -31,12 +31,12 @@ def main():
     accum = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     remat = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 
-    # strip_max_frames=128: same default the training driver applies
-    # (train.py) — the strip backward wins past the forward crossover,
-    # and 128 covers the largest microbatch that fits (12 seqs = 120
-    # folded frames).  NM_BENCH_STRIP_MAX overrides.
+    # strip_max_frames=64: same default the training driver applies
+    # (train.py) — with frame-chunked conv stacks the plain path wins
+    # from ~64 folded frames up (plain 16.02 vs strip 13.50 seqs/sec at
+    # B=24 accum=2, BASELINE.md).  NM_BENCH_STRIP_MAX overrides.
     try:
-        strip_max = int(os.environ.get("NM_BENCH_STRIP_MAX", "128"))
+        strip_max = int(os.environ.get("NM_BENCH_STRIP_MAX", "64"))
     except ValueError:
         raise SystemExit("NM_BENCH_STRIP_MAX must be an int, got "
                          f"{os.environ['NM_BENCH_STRIP_MAX']!r}")

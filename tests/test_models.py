@@ -273,8 +273,11 @@ def test_interpolate_scan_matches_eager_oracle():
         p, k, sk, method=HSVRNNBVH.interpolate, rngs=rngs, **kwargs))(
         params, kp)
     assert scanned.shape == (1, T, K, 4)
+    # atol: the pointer-doubling FK's matmul chain fuses differently under
+    # jit than eager op-by-op (observed 1.3e-6 max abs); semantic errors
+    # (wrong sample selection / anchor collapse) would be O(0.1)
     np.testing.assert_allclose(np.asarray(scanned), np.asarray(eager),
-                               rtol=0, atol=1e-6)
+                               rtol=0, atol=1e-5)
 
 
 def test_coord_split_stem_equivalence():

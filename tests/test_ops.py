@@ -163,6 +163,67 @@ def test_fk_inverse_composition():
     np.testing.assert_allclose(Rg_inv[:, 3], want, atol=1e-5)
 
 
+def _random_tree(seed, K, root):
+    """Random parents array forming a tree rooted at ``root`` (parent==self),
+    plus a root-first priority order (each parent precedes its children)."""
+    r = rng(seed)
+    order = [root] + list(r.permutation([k for k in range(K) if k != root]))
+    parents = np.zeros(K, dtype=np.int32)
+    parents[root] = root
+    for i, k in enumerate(order[1:], start=1):
+        parents[k] = order[int(r.integers(0, i))]
+    return parents, np.asarray(order, dtype=np.int32)
+
+
+@pytest.mark.parametrize("seed,K,root,inverse", [
+    (11, 24, 0, False), (12, 24, 7, True), (13, 5, 3, False),
+    (14, 2, 1, True), (15, 17, 16, False),
+])
+def test_fk_parallel_matches_scan_random_trees(seed, K, root, inverse):
+    parents, priority = _random_tree(seed, K, root)
+    B = 3
+    p6d = rng(seed + 100).normal(size=(B, K, 6)).astype(np.float32)
+    offset = rng(seed + 200).normal(size=(B, K, 3)).astype(np.float32)
+    root_pos = rng(seed + 300).normal(size=(B, 3)).astype(np.float32)
+    R_local = ops.rotation_6d_to_matrix(jnp.asarray(p6d))
+    pr, pa = jnp.asarray(priority), jnp.asarray(parents)
+
+    Rg_scan = ops.fk_global_rotations(R_local, pr, pa, inverse=inverse)
+    Rg_par = ops.fk_global_rotations_parallel(R_local, pr, pa,
+                                              inverse=inverse)
+    np.testing.assert_allclose(np.asarray(Rg_par), np.asarray(Rg_scan),
+                               atol=1e-5)
+    if not inverse:
+        pos_scan = ops.fk_positions(Rg_scan, jnp.asarray(offset),
+                                    jnp.asarray(root_pos), pr, pa)
+        pos_par = ops.fk_positions_parallel(Rg_scan, jnp.asarray(offset),
+                                            jnp.asarray(root_pos), pr, pa)
+        np.testing.assert_allclose(np.asarray(pos_par), np.asarray(pos_scan),
+                                   atol=1e-5)
+
+
+def test_fk_parallel_deep_chain():
+    """Worst case for pointer doubling: a K-1-deep pure chain."""
+    K = 24
+    parents = np.concatenate([[0], np.arange(K - 1)]).astype(np.int32)
+    priority = np.arange(K, dtype=np.int32)
+    p6d = rng(21).normal(size=(2, K, 6)).astype(np.float32)
+    offset = rng(22).normal(size=(2, K, 3)).astype(np.float32)
+    root_pos = rng(23).normal(size=(2, 3)).astype(np.float32)
+    R_local = ops.rotation_6d_to_matrix(jnp.asarray(p6d))
+    pr, pa = jnp.asarray(priority), jnp.asarray(parents)
+    Rg_scan = ops.fk_global_rotations(R_local, pr, pa)
+    Rg_par = ops.fk_global_rotations_parallel(R_local, pr, pa)
+    np.testing.assert_allclose(np.asarray(Rg_par), np.asarray(Rg_scan),
+                               atol=2e-5)
+    pos_scan = ops.fk_positions(Rg_scan, jnp.asarray(offset),
+                                jnp.asarray(root_pos), pr, pa)
+    pos_par = ops.fk_positions_parallel(Rg_scan, jnp.asarray(offset),
+                                        jnp.asarray(root_pos), pr, pa)
+    np.testing.assert_allclose(np.asarray(pos_par), np.asarray(pos_scan),
+                               atol=2e-5)
+
+
 # ------------------------------------------------------------------- voxelize
 def test_voxelize_np_matches_jnp():
     pts = rng(10).uniform(-1, 1, size=(500, 3)).astype(np.float32)

@@ -80,12 +80,13 @@ def main():
     if cfg.apply_adjust_config:
         cfg = adjust_config(cfg)
     if cfg.strip_max_frames == 0:
-        # training: the strip conv BACKWARD still wins well past the
-        # forward crossover (64) — measured B=8 accum=1: strip 12.63 vs
-        # plain 11.23 seqs/sec at 80 frames, and stem dw 23.5 vs 68.4 ms
-        # at 160.  128 covers the largest microbatch that fits in HBM
-        # (12 seqs = 120 folded frames; BASELINE.md training table).
-        cfg = cfg.replace(strip_max_frames=128)
+        # With frame-chunked conv stacks (128-frame groups through the
+        # folded (B*T) axis) the PLAIN path wins from ~64 folded frames
+        # up, forward and backward: measured B=24 accum=2 at 120 frames
+        # plain 16.02 vs strip 13.50 seqs/sec (r4 vs r3, BASELINE.md
+        # training table).  Strip still wins the small-batch regime
+        # (B<=6 folded <=64 frames), so the gate sits at the crossover.
+        cfg = cfg.replace(strip_max_frames=64)
     cfg = derive_training_id(cfg)
     np.random.seed(cfg.seed)
     if cfg.debug_nans:

@@ -146,7 +146,12 @@ class MarionetteConfig:
     compute_dtype: str = "float32"  # bfloat16 optionally for conv stacks
     debug_nans: int = 0
     profile_dir: str = ""  # capture a jax.profiler trace of early steps
-    remat: int = 0  # rematerialize detector conv stacks (memory for FLOPs)
+    # rematerialize detector conv stacks (trades backward recompute for
+    # HBM).  Measured policy at flagship scale (BASELINE.md r4): leave 0
+    # for microbatches <= 12 seqs (120 folded frames — fits, and is ~14%
+    # faster than remat=1); set 1 above that, 2 only to bound the
+    # single-microbatch peak further.
+    remat: int = 0
     # strip-packed decoder convs (ops/stripconv.py): -1 = auto (TPU
     # backend only — CPU XLA compiles the strip form pathologically
     # slowly and its conv is already fine there), 0 = off, 1 = force on

@@ -29,7 +29,10 @@ def main():
     dtype_name = sys.argv[3] if len(sys.argv) > 3 else "float32"
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     accum = int(sys.argv[4]) if len(sys.argv) > 4 else 1
-    remat = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+    # remat=0 default: microbatches <= 120 folded frames fit without
+    # recompute and run ~14% faster (18.32 vs 16.02 seqs/sec at B=24
+    # accum=2, BASELINE.md r4); pass 1 for larger microbatches
+    remat = int(sys.argv[5]) if len(sys.argv) > 5 else 0
 
     # strip_max_frames=64: same default the training driver applies
     # (train.py) — with frame-chunked conv stacks the plain path wins

@@ -45,7 +45,13 @@ def main():
                          f"{os.environ['NM_BENCH_STRIP_MAX']!r}")
     cfg = adjust_config(MarionetteConfig(dataset="aist",
                                          strip_max_frames=strip_max)).replace(
-        remat=remat, grad_accum=accum, compute_dtype=dtype_name)
+        remat=remat, grad_accum=accum, compute_dtype=dtype_name,
+        # A/B knobs (-1 = backend default): the fused-upconv decoder tail
+        # won the r3 FORWARD but its boundary-fix pad/select chains show
+        # up in the r4 remat-0 BACKWARD trace — NM_BENCH_UPCONV=0 times
+        # the plain decoder for training
+        upconv_decoder=int(os.environ.get("NM_BENCH_UPCONV", "-1")),
+        strip_decoder=int(os.environ.get("NM_BENCH_STRIP_DEC", "-1")))
     model = NeuralMarionette(cfg, dtype=dtype)
     g = np.random.default_rng(0)
     pts = jnp.asarray(g.uniform(-0.8, 0.8, size=(B, cfg.Ttot, 2048, 3)),

@@ -116,6 +116,10 @@ def load_target_points(path: str, scale: float = 0.8, x_trans: float = 0.0,
         x = mesh["verts"]
     else:
         x = np.load(path)[..., :3]
+    if x.ndim == 3:
+        # a (T, N, 3) motion clip was passed where a static target shape
+        # belongs — use its first frame (rest pose) rather than crashing
+        x = x[0]
     if is_bind:
         x = np.stack([x[:, 0], -x[:, 2], x[:, 1]], axis=-1)
     x = episodic_normalization(x[None], scale, x_trans, z_trans)[0]

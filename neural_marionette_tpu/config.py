@@ -190,6 +190,11 @@ class MarionetteConfig:
     # training dynamics).  Used by the training-dynamics parity run.
     opt_reset_per_epoch: int = 0
     num_workers: int = 4   # loader threads
+    # synthetic-dataset scale (TPU-framework-only dataset).  0 keeps the
+    # legacy 64-train/64-valid split; N > 0 gives N train sequences and
+    # max(N//4, 8) validation sequences (flagship-scale runs).
+    synthetic_sequences: int = 0
+    synthetic_seq_len: int = 40
     n_points: int = 4096   # fixed per-frame point count shipped to device
     platform: str = ""     # force a JAX platform ("cpu") before backend init
     # ----- multi-host runtime (SURVEY §5: per-host loading over DCN) -----

@@ -83,6 +83,12 @@ class PointSequenceDataset:
         None (AIST ``align_root`` only)."""
         return None
 
+    def gt_affinity(self) -> Optional[np.ndarray]:
+        """(K', K') symmetric GT skeleton adjacency when the dataset ships
+        one (AIST++ writes gt_affinity.npy during preparation), else None.
+        Consumed by eval.affinity_recovery at final eval."""
+        return None
+
     # -------- common machinery
     def log_epoch(self, epoch_id: int) -> None:
         self.epoch_id = epoch_id
@@ -151,11 +157,16 @@ class AIST(PointSequenceDataset):
         cfg = options or MarionetteConfig()
         base = os.path.join(cfg.data_root, "aist_plusplus_smpl_joints")
         split = "train" if train else "test"
+        self.base = base
         self.root = os.path.join(base, "surface", split)
         self.joint_root = os.path.join(base, "joints", split)
         self.align_root_dir = os.path.join(base, "root_aligns", split)
         self.align_root = align_root
         super().__init__(train, options, **kw)
+
+    def gt_affinity(self):
+        path = os.path.join(self.base, "gt_affinity.npy")
+        return np.load(path) if os.path.exists(path) else None
 
     def _list_sequences(self):
         return sorted(os.listdir(self.root))
@@ -277,12 +288,24 @@ class Synthetic(PointSequenceDataset):
     semantic eval metric works out of the box.
     """
 
-    def __init__(self, train=True, options=None, n_sequences=64,
-                 seq_len=40, n_bones=None, **kw):
-        self.n_sequences = n_sequences
-        self.seq_len = seq_len
+    def __init__(self, train=True, options=None, n_sequences=None,
+                 seq_len=None, n_bones=None, **kw):
         cfg = options or MarionetteConfig()
+        if n_sequences is None:
+            # cfg.synthetic_sequences=0 keeps the legacy 64/64 split
+            if cfg.synthetic_sequences > 0:
+                n_sequences = (cfg.synthetic_sequences if train
+                               else max(cfg.synthetic_sequences // 4, 8))
+            else:
+                n_sequences = 64
+        self.n_sequences = n_sequences
+        self.seq_len = seq_len if seq_len is not None \
+            else (cfg.synthetic_seq_len or 40)
         self.n_bones = n_bones or max(cfg.nkeypoints, 3)
+        # (pts, joints) per seed; generation is deterministic in seed so a
+        # plain memo is exact — without it every __getitem__ re-synthesizes
+        # T*K*2048 points on the host (real loader burn at flagship B)
+        self._memo: dict = {}
         super().__init__(train, options, **kw)
 
     def _list_sequences(self):
@@ -314,15 +337,27 @@ class Synthetic(PointSequenceDataset):
         pts = seg.reshape(T, -1, 3)
         return pts.astype(np.float32), joints[:, 1:].astype(np.float32)
 
+    def gt_affinity(self):
+        # the procedural skeleton is a K-bone chain: joint k-1 -- k
+        K = self.n_bones
+        aff = np.zeros((K, K), np.float32)
+        idx = np.arange(K - 1)
+        aff[idx, idx + 1] = aff[idx + 1, idx] = 1.0
+        return aff
+
+    def _generate_memo(self, seed: int):
+        hit = self._memo.get(seed)
+        if hit is None:
+            hit = self._memo[seed] = self._generate(seed)
+        return hit
+
     def _load_points(self, rel):
         seed = int(rel.split("_")[1])
-        pts, joints = self._generate(seed)
-        self._joint_cache = joints
-        return pts
+        return self._generate_memo(seed)[0]
 
     def _load_joints(self, rel):
         seed = int(rel.split("_")[1])
-        return self._generate(seed)[1]
+        return self._generate_memo(seed)[1]
 
 
 DATASETS = {

@@ -80,6 +80,42 @@ def voxel_chamfer(gt_voxel: np.ndarray, recon: np.ndarray,
     return float(total / max(count, 1)) * 1e4
 
 
+def affinity_recovery(gt_affinity: np.ndarray, parents: np.ndarray,
+                      semantic_hist: np.ndarray) -> dict:
+    """Fraction of GT skeleton edges recovered by the extracted skeleton.
+
+    The reference writes ``gt_affinity.npy`` during AIST++ preparation
+    (reference dataset/aistpp/prepare_aistpp.py:66-73) but never consumes
+    it; this metric closes that loop.  GT joints are mapped to predicted
+    keypoints via the semantic assignment histogram (argmax per GT joint —
+    the same mapping semantic_final scores), and a GT edge (i, j) counts as
+    recovered when the extracted skeleton (parent edges) connects the two
+    mapped keypoints.
+
+    gt_affinity: (K', K') symmetric 0/1.  parents: (K,) extracted-skeleton
+    parent indices.  semantic_hist: (K', K) accumulated assignment counts.
+    """
+    gt = np.asarray(gt_affinity)
+    parents = np.asarray(parents)
+    assign = np.asarray(semantic_hist).argmax(-1)          # (K',)
+    pred_edges = {(int(min(k, p)), int(max(k, p)))
+                  for k, p in enumerate(parents) if p >= 0 and p != k}
+    gt_i, gt_j = np.nonzero(np.triu(gt, 1))
+    recovered = 0
+    collapsed = 0
+    for i, j in zip(gt_i, gt_j):
+        a, b = int(assign[i]), int(assign[j])
+        if a == b:
+            collapsed += 1  # both GT endpoints map to one keypoint
+            continue
+        if (min(a, b), max(a, b)) in pred_edges:
+            recovered += 1
+    n_gt = len(gt_i)
+    return {"recovered": recovered, "collapsed": collapsed,
+            "gt_edges": n_gt,
+            "recovery": recovered / max(n_gt, 1)}
+
+
 def evaluate(name: str, scores, params: dict):
     """Dispatch matching the reference surface (eval_utils.py:4-10)."""
     if name == "semantic":

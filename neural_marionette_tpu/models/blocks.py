@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 from flax.linen.initializers import normal, zeros_init
@@ -30,6 +31,11 @@ LEAKY_SLOPE = 0.01  # torch nn.LeakyReLU default
 
 def leaky_relu(x):
     return nn.leaky_relu(x, negative_slope=LEAKY_SLOPE)
+
+
+def _env_flag(name: str) -> bool:
+    import os
+    return os.environ.get(name, "0") != "0"
 
 
 def group_norm(C: int):
@@ -105,11 +111,41 @@ class Basic3DBlock(nn.Module):
             return leaky_relu(strip_group_norm_fast(
                 x, sc, bi, max(C // 16, 1), self.strip))
         if self.split_coords:
+            if _env_flag("NM_STEM_SPLIT_PLAIN"):
+                # one-frame constant-field CoordConv decomposition on the
+                # PLAIN path (the strip path's blocks.py _strip_coord_conv
+                # trick, ported): numerically exact (grad rel ~1e-7) and
+                # kills 3/4 of the stem conv FLOPs — but MEASURED SLOWER
+                # end-to-end at the flagship training point (17.69 vs
+                # 18.37 seqs/sec, B=24 accum=2 remat=0 bf16, r5): XLA's
+                # batch-minor Cin=4 conv beats the Cin=1 + constant-field
+                # pair.  Kept opt-in for re-measurement.
+                return self._plain_split_stem(x)
             from ..ops.coords import add_coord_channels
             x = add_coord_channels(x)
         x = Conv(C, (self.kernel_size,) * 3,
                  padding="SAME", kernel_init=BLOCK_CONV_INIT,
                  bias_init=zeros_init(), dtype=self.dtype)(x)
+        x = group_norm(C)(x)
+        return leaky_relu(x)
+
+    def _plain_split_stem(self, x):
+        from flax.linen.dtypes import promote_dtype
+        from ..ops.coords import coord_maps
+        C = self.out_channels
+        ks = (self.kernel_size,) * 3
+        Cin = x.shape[-1]
+        k, b = _ConvParams(C, ks, kernel_init=BLOCK_CONV_INIT,
+                           name="Conv_0")(Cin + 3)
+        x, k, b = promote_dtype(x, k, b, dtype=self.dtype)
+        out = jax.lax.conv_general_dilated(
+            x, k[..., :Cin, :], (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        coords = coord_maps(x.shape[1:4], x.dtype)[None]  # (1, D, V, W, 3)
+        field = jax.lax.conv_general_dilated(
+            jax.lax.stop_gradient(coords), k[..., Cin:, :], (1, 1, 1),
+            "SAME", dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        x = out + field + b
         x = group_norm(C)(x)
         return leaky_relu(x)
 

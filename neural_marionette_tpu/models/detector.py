@@ -366,7 +366,9 @@ class VoxelDecoder(nn.Module):
             # measured 1.73x (40 frames) / 1.85x (160) on hardware.  Only
             # the SECOND upsample stage routes here — the first
             # (128->64 @16^3) measured 0.94x fused (scripts/bench_upconv).
-            from ..ops.upconv import upconv2_trilinear
+            from ..ops.upconv import (parity_unshuffle,
+                                      upconv2_trilinear,
+                                      upconv2_trilinear_packed)
             k, b = _ConvParams(C, (3, 3, 3), name=f"Conv_{i}")(Cin)
             # cast down BEFORE the fused op: the previous stage's
             # GroupNorm emits f32, and unlike the two-op path (where
@@ -374,8 +376,24 @@ class VoxelDecoder(nn.Module):
             # else here pulls the convert up — without this the pixel
             # shuffle materialises 8 GB f32 temps at B=16 (measured
             # compile-time OOM, 17.6 G > 15.75 G HBM).
-            v = upconv2_trilinear(v.astype(mdl.dtype), k.astype(mdl.dtype),
-                                  b.astype(mdl.dtype))
+            import os
+            if os.environ.get("NM_UPCONV_PACKED", "0") != "0":
+                # boundary fixes on the COARSE packed tensor, ONE pixel
+                # shuffle at the end.  Motivated by the r5 trace (the
+                # fine-DUS chain's backward = 18 whole-64^3 pad_add
+                # passes, ~117 ms/step at B=24) but MEASURED SLOWER
+                # end-to-end: 16.01 vs 18.37 seqs/sec (B=24 accum=2
+                # remat=0 bf16) — XLA fuses the fine-form chains into
+                # consumers better than the packed+unshuffle graph.
+                # Opt-in for re-measurement on future XLA versions.
+                v = upconv2_trilinear_packed(v.astype(mdl.dtype),
+                                             k.astype(mdl.dtype),
+                                             b.astype(mdl.dtype))
+                v = parity_unshuffle(v, 3)
+            else:
+                v = upconv2_trilinear(v.astype(mdl.dtype),
+                                      k.astype(mdl.dtype),
+                                      b.astype(mdl.dtype))
             v = nn.GroupNorm(num_groups=max(C // 16, 1), epsilon=1e-5,
                              name=f"GroupNorm_{i}")(v)
             return leaky_relu(v)

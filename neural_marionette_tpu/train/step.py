@@ -134,6 +134,11 @@ def make_train_step(model: NeuralMarionette, cfg: MarionetteConfig,
         mask = make_update_mask(state.params, detector_active,
                                 learner_active, affinity_active)
         grads = jax.tree.map(lambda g, m: g * m, grads, mask)
+        # pre-clip global gradient norm: a standard training-health
+        # scalar, and the object the multi-chip dryrun differential
+        # compares across mesh shapes (post-Adam params amplify
+        # reduction-order noise on near-zero grads to +/-lr sign flips)
+        metrics["grad_norm"] = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         updates = jax.tree.map(lambda u, m: u * m, updates, mask)
         params = optax.apply_updates(state.params, updates)

@@ -182,3 +182,42 @@ def test_prepare_dfaust_parse_subjects(tmp_path):
     out = parse_subjects_file(str(f))
     assert out == {"50002": ("male", ["chicken_wings", "hips"]),
                    "50004": ("female", ["jumping_jacks"])}
+
+
+def test_affinity_recovery_chain():
+    from neural_marionette_tpu.eval import affinity_recovery
+    # GT: 4-joint chain 0-1-2-3 (3 edges)
+    gt = np.zeros((4, 4))
+    for i in range(3):
+        gt[i, i + 1] = gt[i + 1, i] = 1
+    # semantic histogram maps GT joint i -> predicted keypoint perm[i]
+    perm = [2, 0, 3, 1]
+    hist = np.zeros((4, 6))
+    for i, p in enumerate(perm):
+        hist[i, p] = 10
+    # predicted skeleton recovers edges (2,0) and (0,3) but not (3,1):
+    # parents: 0->2, 3->0, 1->5 (wrong), 5 root
+    parents = np.array([2, 5, -1, 0, -1, -1])
+    out = affinity_recovery(gt, parents, hist)
+    assert out["gt_edges"] == 3
+    assert out["recovered"] == 2
+    assert out["collapsed"] == 0
+    assert out["recovery"] == pytest.approx(2 / 3)
+    # collapsed assignment: two GT joints on one keypoint
+    hist[1] = 0
+    hist[1, 2] = 5  # joint 1 now also maps to keypoint 2 (same as joint 0)
+    out = affinity_recovery(gt, parents, hist)
+    assert out["collapsed"] >= 1
+
+
+def test_synthetic_gt_affinity_and_memo():
+    from neural_marionette_tpu.data.datasets import Synthetic
+    cfg = MarionetteConfig(dataset="synthetic", nkeypoints=6)
+    ds = Synthetic(train=True, options=cfg, n_sequences=4, seq_len=12)
+    aff = ds.gt_affinity()
+    assert aff.shape == (6, 6)
+    assert aff.sum() == 2 * 5 and np.array_equal(aff, aff.T)
+    # memoization: second access returns the identical cached arrays
+    p1 = ds._generate_memo(0)[0]
+    p2 = ds._generate_memo(0)[0]
+    assert p1 is p2

@@ -355,6 +355,22 @@ def main():
             out = os.path.join(logger_path, "chamfer_result.csv")
             np.savetxt(out, vals, delimiter=",")
             print(f"final voxel chamfer (x1e4): {vals.mean():.4f} -> {out}")
+    # GT-affinity recovery: how much of the dataset's GT skeleton the
+    # extracted skeleton reproduces under the semantic joint assignment
+    # (the reference writes gt_affinity.npy but never consumes it —
+    # prepare_aistpp.py:66-73; this closes that loop)
+    gt_aff = dataset_valid.gt_affinity()
+    if coord and gt_aff is not None and skeleton is not None \
+            and eval_scores.get("semantic") is not None:
+        from neural_marionette_tpu.eval import affinity_recovery
+        rec = affinity_recovery(gt_aff, skeleton.parents,
+                                eval_scores["semantic"])
+        out = os.path.join(logger_path, "affinity_result.json")
+        with open(out, "w") as f:
+            json.dump(rec, f)
+        print(f"GT-affinity edge recovery: {rec['recovery']:.4f} "
+              f"({rec['recovered']}/{rec['gt_edges']}, "
+              f"{rec['collapsed']} collapsed) -> {out}")
     print(f"{COLORS.OKGREEN}training complete{COLORS.ENDC}")
 
 

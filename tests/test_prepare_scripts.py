@@ -327,7 +327,9 @@ def test_prepare_aistpp_real_scale_and_training(tmp_path):
             "--output_root", out_root, "--exp_name", "real_scale",
             "--grid_size", "32", "--feat_dim", "32", "--nkeypoints", "6",
             "--Ttot", "4", "--Tcond", "2", "--sample_rate", "2",
-            "--nbatch", "2", "--n_points", "512", "--num_workers", "2",
+            # nbatch=1: the 90/10 split leaves ONE test sequence and the
+            # loader drops ragged tails — B=2 would yield zero eval batches
+            "--nbatch", "1", "--n_points", "512", "--num_workers", "2",
             "--nlatent_kypt", "16", "--nhidden_kypt", "32",
             "--is_eval", "1", "--nepoch", "1", "--save_every", "1",
             "--log_gif_every", "100", "--mesh_data", "1",

@@ -13,9 +13,14 @@ about.  Design:
   tensor that XLA's decomposition performs;
 * a tiny XLA reduce folds the z-partials into per-(frame, group)
   mean/var (F x 2G values — negligible);
-* pass 2 — an elementwise plane kernel: read conv output, normalize,
-  scale/shift, LeakyReLU, write.  Pure bandwidth (one read + one write),
-  replacing XLA's normalize pass which reads the conv output again.
+* pass 2 — normalize + scale/shift + LeakyReLU as plain XLA elementwise
+  (one fused read + write).  A Pallas pass 2 was prototyped and removed:
+  XLA's elementwise fusion is already one-read-one-write (bandwidth
+  optimal), so a kernel buys nothing, and per-frame (1, ngroups) block
+  reads violate Mosaic's (8, 128) min-tile rule (second-minor block dim
+  must be 8-divisible or full) — the fix (padding the per-frame stats
+  rows to (8, 128) blocks) is exactly what the stats OUTPUT of pass 1
+  already does, see `_conv_stats_kernel`.
 
 HBM traffic per stage: x + write y + read y + write out = 3 passes over
 the activation tensor vs XLA's 4 (conv write, stats read, normalize
@@ -28,6 +33,19 @@ Measure with scripts/bench_fusedstage.py; the verdict lives in
 BASELINE.md.  Forward-only: the training backward would additionally
 need a custom VJP that forfeits XLA's fused backward — only worth
 building if the forward wins first.
+
+MEASURED OUTCOME (round 5, real chip): the kernel's operand layout
+constraint is channels-minor ({4,3,2,1,0} row-major, C=32), so XLA must
+relayout the input into a 128-lane-padded copy — a 4.0x HBM expansion
+(the compiler report shows 2.24G unpadded -> 8.97G padded for the halo
+pad plus 7.50G for the x copy), which OOMs outright at the flagship
+F=120 point (16.47G > 15.75G HBM) and at any size taxes every x read
+with 4x the bytes.  In-graph XLA avoids this entirely by keeping these
+C<64 stages batch-minor (the r5 trace's conv fusions).  This is the
+same lane-padding wall as ops/pallas/conv3d_kernel.py (20.7 TF/s
+standalone vs XLA's 73-157 in-graph) with the GN fusion unable to buy
+it back — quantified rejection recorded in BASELINE.md; kernel kept as
+the measurement artifact, not routed.
 """
 from __future__ import annotations
 
@@ -45,8 +63,10 @@ def _conv_stats_kernel(*refs, H, W, Wp, Cin, Cout, kd, kh, kw, ngroups):
     """Pass 1: conv plane + per-group moment partials.
 
     refs = (x_dz0..x_dz{kd-1}, w, b, y_out, stats_out); stats_out is
-    (1, 1, 2 * ngroups) f32: [sum_g0..sum_gG, sq_g0..sq_gG] of this
-    plane's conv output."""
+    a (1, 1, 8, 128) f32 block (Mosaic min-tile — a (1, 1, 2*ngroups)
+    block is unlowerable: the second-minor block dim must be 8-divisible
+    or span the array) whose row 0 holds [sum_g0.., sq_g0.., 0...] of
+    this plane's conv output; rows 1-7 are broadcast copies."""
     x_refs = refs[:kd]
     w_ref, b_ref = refs[kd], refs[kd + 1]
     y_ref, s_ref = refs[kd + 2], refs[kd + 3]
@@ -77,25 +97,21 @@ def _conv_stats_kernel(*refs, H, W, Wp, Cin, Cout, kd, kh, kw, ngroups):
         y = y + p_dx[:, dx:dx + W, :]
 
     y_ref[0, 0, :, :, :] = y.astype(y_ref.dtype)
-    # per-group moments of the f32 plane while it is VMEM-resident
-    flat = y.reshape(H * W, ngroups, Cg)
-    s = jnp.sum(flat, axis=(0, 2))             # (ngroups,)
-    sq = jnp.sum(flat * flat, axis=(0, 2))     # (ngroups,)
-    s_ref[0, 0, :] = jnp.concatenate([s, sq])
-
-
-def _norm_act_kernel(y_ref, mu_ref, inv_ref, sc_ref, bi_ref, o_ref, *,
-                     H, W, Cout, ngroups):
-    """Pass 2: normalize + scale/shift + LeakyReLU, one (frame, z) plane."""
-    Cg = Cout // ngroups
-    y = y_ref[0, 0, :, :, :].astype(jnp.float32)
-    # broadcast per-group mean / inv-std over the channel dim
-    mu = jnp.repeat(mu_ref[0, :], Cg, total_repeat_length=Cout)
-    inv = jnp.repeat(inv_ref[0, :], Cg, total_repeat_length=Cout)
-    z = (y - mu) * inv * sc_ref[0, :].astype(jnp.float32) \
-        + bi_ref[0, :].astype(jnp.float32)
-    o_ref[0, 0, :, :, :] = jnp.where(
-        z >= 0, z, z * LEAKY_SLOPE).astype(o_ref.dtype)
+    # per-group moments of the f32 plane while it is VMEM-resident.
+    # Mosaic cannot reshape-split the minor (channel) dim into
+    # (ngroups, Cg), so reduce channels-per-column first and fold the
+    # group structure with an indicator matmul.
+    yf = y.reshape(H * W, Cout)                     # major-merge only
+    cs = jnp.sum(yf, axis=0, keepdims=True)         # (1, Cout)
+    cq = jnp.sum(yf * yf, axis=0, keepdims=True)    # (1, Cout)
+    c_idx = jax.lax.broadcasted_iota(jnp.int32, (Cout, ngroups), 0)
+    g_idx = jax.lax.broadcasted_iota(jnp.int32, (Cout, ngroups), 1)
+    gmask = (c_idx // Cg == g_idx).astype(jnp.float32)
+    sg = jnp.dot(cs, gmask, preferred_element_type=jnp.float32)
+    qg = jnp.dot(cq, gmask, preferred_element_type=jnp.float32)
+    row = jnp.concatenate(
+        [sg, qg, jnp.zeros((1, 128 - 2 * ngroups), jnp.float32)], axis=1)
+    s_ref[0, 0, :, :] = jnp.broadcast_to(row, (8, 128))
 
 
 def fused_stage(x, w, b, scale, bias, ngroups: int | None = None,
@@ -145,12 +161,12 @@ def fused_stage(x, w, b, scale, bias, ngroups: int | None = None,
         out_specs=[
             pl.BlockSpec((1, 1, H, W, Cout), lambda f, z: (f, z, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 2 * ngroups), lambda f, z: (f, z, 0),
+            pl.BlockSpec((1, 1, 8, 128), lambda f, z: (f, z, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((F, D, H, W, Cout), out_dtype),
-            jax.ShapeDtypeStruct((F, D, 2 * ngroups), jnp.float32),
+            jax.ShapeDtypeStruct((F, D, 8, 128), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * F * D * H * W * kd * kh * kw * Cin * Cout,
@@ -158,41 +174,21 @@ def fused_stage(x, w, b, scale, bias, ngroups: int | None = None,
             transcendentals=0),
     )(*([xb] * kd + [wp, bb]))
 
-    # z-partials -> per-(frame, group) mean / inv-std (tiny XLA reduce)
-    tot = jnp.sum(stats, axis=1)               # (F, 2 * ngroups)
+    # z-partials -> per-(frame, group) mean / inv-std (tiny XLA reduce);
+    # only row 0 of each (8, 128) stats block carries data
+    tot = jnp.sum(stats[:, :, 0, :2 * ngroups], axis=1)  # (F, 2*ngroups)
     n = jnp.float32(D * H * W * (Cout // ngroups))
     mean = tot[:, :ngroups] / n
     var = tot[:, ngroups:] / n - mean * mean
     inv = jax.lax.rsqrt(var + eps)
 
-    nkernel = functools.partial(_norm_act_kernel, H=H, W=W, Cout=Cout,
-                                ngroups=ngroups)
-    out = pl.pallas_call(
-        nkernel,
-        interpret=interpret,
-        grid=(F, D),
-        in_specs=[
-            pl.BlockSpec((1, 1, H, W, Cout), lambda f, z: (f, z, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ngroups), lambda f, z: (f, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ngroups), lambda f, z: (f, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cout), lambda f, z: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cout), lambda f, z: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, H, W, Cout),
-                               lambda f, z: (f, z, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((F, D, H, W, Cout), out_dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=5 * F * D * H * W * Cout,
-            bytes_accessed=2 * F * D * H * W * Cout * 2,
-            transcendentals=F * ngroups),
-    )(y, mean, inv, scale.reshape(1, Cout), bias.reshape(1, Cout))
-    return out
+    # pass 2: one fused XLA elementwise read+write (see module docstring)
+    Cg = Cout // ngroups
+    mu_c = jnp.repeat(mean, Cg, axis=1)[:, None, None, None, :]
+    inv_c = jnp.repeat(inv, Cg, axis=1)[:, None, None, None, :]
+    z = (y.astype(jnp.float32) - mu_c) * inv_c \
+        * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return jnp.where(z >= 0, z, z * LEAKY_SLOPE).astype(out_dtype)
 
 
 def reference_stage(x, w, b, scale, bias, ngroups: int | None = None,

@@ -47,8 +47,9 @@ def main():
         fn(x, w, b, sc, bi).block_until_ready()
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fn(x, w, b, sc, bi)
-        out.block_until_ready()
+            # per-iter block: the tunneled axon runtime reports garbage
+            # timings if only the last dispatch is awaited (ROADMAP)
+            fn(x, w, b, sc, bi).block_until_ready()
         dt = (time.perf_counter() - t0) / iters
         print(f"{name}: {dt * 1e3:8.2f} ms  ({flops / dt / 1e12:6.1f} "
               f"TF/s conv-FLOPs)")

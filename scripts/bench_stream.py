@@ -26,6 +26,10 @@ diagnosis: the per-window fold-in cost 52.5 → 58.6 ms/window):
          RNG bit generation instead of threefry vector code)
 --api drives the product MarionetteStream.run() path instead of the
 bench's own loop (includes its bucketing + fetch bookkeeping).
+--xfer f16 ships the raw points over the host->HBM link as float16
+(half the bytes; points only feed the voxelizer's grid-64 quantization,
+where f16's 1e-3 relative error is ~6% of one voxel cell — serving-
+grade, off by default, never for parity paths).
 """
 import os
 import sys
@@ -48,6 +52,9 @@ def main():
     rng_mode = sys.argv[sys.argv.index("--rng") + 1] \
         if "--rng" in sys.argv else "fold"
     use_api = "--api" in sys.argv
+    xfer = np.float16 if ("--xfer" in sys.argv and
+                          sys.argv[sys.argv.index("--xfer") + 1] == "f16") \
+        else np.float32
 
     from neural_marionette_tpu.config import MarionetteConfig, adjust_config
     from neural_marionette_tpu.models import NeuralMarionette, SkeletonArrays
@@ -61,7 +68,7 @@ def main():
     rng = np.random.default_rng(0)
     # host-side windows: raw points (what a stream delivers)
     windows = [rng.uniform(-0.8, 0.8, size=(B, T, 2048, 3))
-               .astype(np.float32) for _ in range(n_windows)]
+               .astype(xfer) for _ in range(n_windows)]
 
     def make_key(idx):
         if rng_mode == "const":
@@ -72,7 +79,7 @@ def main():
 
     def encode_window(params, pts, window_idx):
         key = make_key(window_idx)
-        vox = voxelize_jnp(pts, G).astype(dtype)
+        vox = voxelize_jnp(pts.astype(jnp.float32), G).astype(dtype)
         out = model.apply(params, vox, sk,
                           method=NeuralMarionette.encode_only,
                           rngs={"sample": key})
@@ -81,7 +88,8 @@ def main():
     pts0 = jnp.asarray(windows[0])
     params = model.init({"params": jax.random.PRNGKey(0),
                          "sample": jax.random.PRNGKey(1)},
-                        voxelize_jnp(pts0[:1, :2], G).astype(dtype),
+                        voxelize_jnp(pts0[:1, :2].astype(jnp.float32),
+                                     G).astype(dtype),
                         detector_active=True, learner_active=True,
                         skeleton=sk)
     compiled = jax.jit(encode_window).lower(
@@ -134,7 +142,7 @@ def main():
     put = (time.perf_counter() - t0) / n_windows
 
     print(f"windows={n_windows} B={B} dtype={jnp.dtype(dtype).name} "
-          f"rng={rng_mode}")
+          f"rng={rng_mode} xfer={np.dtype(xfer).name}")
     print(f"host->HBM transfer     : {put*1e3:7.2f} ms/window")
     print(f"sequential put+run+fetch: {seq*1e3:7.2f} ms/window")
     print(f"pipelined (double-buf) : {pipe*1e3:7.2f} ms/window")

@@ -208,3 +208,24 @@ def test_chamfer_kernel_padded_k_and_intensity_column():
     ref = _jnp_chamfer_num(kp, occ.astype(jnp.float32), G)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4)
+
+
+def test_fusedstage_kernel_matches_xla_decomposition():
+    """Fused conv3d+GN+LeakyReLU stage (the round-5 megakernel measurement
+    artifact) stays numerically pinned to the XLA decomposition it races.
+    Interpret mode; the Mosaic-safe formulation (8x128-padded stats
+    blocks, indicator-matmul group reduction) compiled and matched on
+    hardware at 4.76e-3 = bf16 cast (BASELINE.md r5)."""
+    from neural_marionette_tpu.ops.pallas.fusedstage_kernel import (
+        fused_stage, reference_stage)
+    g = np.random.default_rng(0)
+    F, G, C = 2, 8, 32
+    x = jnp.asarray(g.normal(0, 1, (F, G, G, G, C)), jnp.bfloat16)
+    w = jnp.asarray(g.normal(0, 0.05, (3, 3, 3, C, C)), jnp.float32)
+    b = jnp.asarray(g.normal(0, 0.1, (C,)), jnp.float32)
+    sc = jnp.asarray(g.normal(1, 0.1, (C,)), jnp.float32)
+    bi = jnp.asarray(g.normal(0, 0.1, (C,)), jnp.float32)
+    got = np.asarray(fused_stage(x, w, b, sc, bi), np.float32)
+    want = np.asarray(reference_stage(x, w, b, sc, bi), np.float32)
+    scale = max(np.max(np.abs(want)), 1e-6)
+    assert np.max(np.abs(got - want)) / scale < 2e-2  # bf16 output cast
